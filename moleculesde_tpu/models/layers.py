@@ -1,0 +1,100 @@
+"""Shared Flax building blocks: reference-matching MLP and masked BatchNorm.
+
+- ``MLP`` mirrors the reference MultiLayerPerceptron semantics (reference
+  Geom3D/models/MoleculeSDE/layers/common.py:5-40): xavier-uniform weights,
+  zero bias, activation between layers but not after the last.
+- ``MaskedBatchNorm`` solves SURVEY.md hard-part 2: the reference's
+  ``nn.BatchNorm1d`` computes statistics over all rows of the ragged batch;
+  under padding we compute statistics over *valid* rows only, so the
+  normalization matches the unpadded computation exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+xavier_uniform = nn.initializers.xavier_uniform()
+zeros_init = nn.initializers.zeros
+
+ACTIVATIONS = {
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "elu": nn.elu,
+    "tanh": jnp.tanh,
+}
+
+
+class MLP(nn.Module):
+    """Linear stack with activation between layers (ref layers/common.py:31-40)."""
+
+    hidden_dims: Sequence[int]
+    activation: str = "relu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        act = ACTIVATIONS[self.activation]
+        n = len(self.hidden_dims)
+        for i, dim in enumerate(self.hidden_dims):
+            x = nn.Dense(dim, kernel_init=xavier_uniform, bias_init=zeros_init)(x)
+            if i < n - 1:
+                x = act(x)
+                if self.dropout > 0:
+                    x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid rows of a padded ``[N, F]`` array.
+
+    Maintains running statistics in the ``batch_stats`` collection like
+    ``flax.linen.BatchNorm``; at train time statistics are computed over rows
+    where ``mask`` is True (torch BatchNorm1d semantics on the unpadded batch,
+    reference molecule_gnn_model.py:157-159), using torch's default momentum
+    (0.1 new / 0.9 old) and eps (1e-5).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray],
+        use_running_average: bool = False,
+    ) -> jnp.ndarray:
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((features,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((features,)))
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if mask is None:
+                mean = jnp.mean(x, axis=0)
+                var = jnp.var(x, axis=0)
+            else:
+                m = mask.astype(x.dtype)[:, None]
+                count = jnp.maximum(m.sum(), 1.0)
+                mean = (x * m).sum(axis=0) / count
+                var = (((x - mean) ** 2) * m).sum(axis=0) / count
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class LayerNorm(nn.Module):
+    """Thin wrapper so score networks can swap norms uniformly."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.LayerNorm()(x)

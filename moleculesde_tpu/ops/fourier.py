@@ -1,0 +1,59 @@
+"""Distance / noise-level embedding primitives.
+
+Pure-function equivalents of the reference's small embedding modules:
+GaussianFourierProjection (reference SDE_model_2D_to_3D.py:57-66),
+GaussianSmearing (reference schnet.py:198-207), GaussianRBF + CosineCutoff
+(reference painn_utils.py:99-177) and ShiftedSoftplus (schnet.py:210-216).
+All elementwise — XLA fuses them into surrounding matmuls.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def gaussian_fourier_projection(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """[sin(2*pi*w*x), cos(2*pi*w*x)] noise-level features.
+
+    ``x``: [..., 1]; ``w``: [C] fixed (non-trainable) Gaussian weights.
+    Output [..., 2C]. Matches reference SDE_model_2D_to_3D.py:64-66.
+    """
+    proj = x * w[None, :] * 2.0 * math.pi
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+def gaussian_smearing(
+    dist: jnp.ndarray, start: float, stop: float, num_gaussians: int
+) -> jnp.ndarray:
+    """SchNet's equally-spaced Gaussian distance expansion (ref schnet.py:198-207).
+
+    ``dist``: [...] distances -> output [..., num_gaussians].
+    """
+    offset = jnp.linspace(start, stop, num_gaussians)
+    coeff = -0.5 / float((stop - start) / (num_gaussians - 1)) ** 2
+    diff = dist[..., None] - offset
+    return jnp.exp(coeff * diff ** 2)
+
+
+def gaussian_rbf(
+    dist: jnp.ndarray, n_rbf: int, cutoff: float, start: float = 0.0
+) -> jnp.ndarray:
+    """PaiNN's Gaussian radial basis (ref painn_utils.py:99-136)."""
+    offsets = jnp.linspace(start, cutoff, n_rbf)
+    width = abs((cutoff - start) / (n_rbf - 1))
+    coeff = -0.5 / width ** 2
+    diff = dist[..., None] - offsets
+    return jnp.exp(coeff * diff ** 2)
+
+
+def cosine_cutoff(dist: jnp.ndarray, cutoff: float) -> jnp.ndarray:
+    """Behler-style cosine cutoff envelope (ref painn_utils.py:139-155)."""
+    val = 0.5 * (jnp.cos(dist * math.pi / cutoff) + 1.0)
+    return val * (dist < cutoff).astype(val.dtype)
+
+
+def shifted_softplus(x: jnp.ndarray) -> jnp.ndarray:
+    """softplus(x) - log(2) (ref schnet.py:210-216)."""
+    return jnp.logaddexp(x, 0.0) - math.log(2.0)
