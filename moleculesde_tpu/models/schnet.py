@@ -1,0 +1,141 @@
+"""SchNet over padded batches with an in-jit dense radius graph.
+
+TPU-first re-design of the reference SchNet (reference Geom3D/models/schnet.py).
+The reference rebuilds a sparse ``radius_graph`` neighbor list on every
+forward (schnet.py:91) — a dynamic-shape op XLA cannot compile.  Here the
+neighborhood is a masked dense ``[B, N, N]`` pairwise-distance tensor computed
+inside the jitted step, and the continuous-filter convolution becomes a
+batched einsum that maps straight onto the MXU:
+
+    h_i <- h_i + lin2( sum_j  W(d_ij) * lin1(h)_j )
+    W(d) = mlp(gaussian_smearing(d)) * 0.5 (cos(pi d / cutoff) + 1) * mask
+
+Because the distance matrix is differentiable w.r.t. positions, the MD17
+force path ``F = -grad_pos E`` works under ``jax.grad`` with the neighbor
+mask held constant (stop-gradient semantics of a boolean mask).
+
+Deviation from the reference noted for the parity record: PyG's
+``radius_graph`` silently caps neighbors at 32 per atom; the dense mask keeps
+all pairs within the cutoff (identical for molecules with <= 32 in-range
+neighbors, i.e. everything in PCQM4Mv2/QM9/MD17 at cutoff 10 except large
+molecules where the cap would drop neighbors arbitrarily).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from moleculesde_tpu.core.batch import GraphBatch, NUM_ATOM_CLASSES
+from moleculesde_tpu.models.layers import xavier_uniform, zeros_init
+from moleculesde_tpu.ops.fourier import gaussian_smearing, shifted_softplus
+
+_DIST_GUARD = 1e-24
+
+
+def pairwise_distances(pos: jnp.ndarray) -> jnp.ndarray:
+    """Safe dense pairwise distances for ``[B, N, 3]`` -> ``[B, N, N]``."""
+    diff = pos[:, :, None, :] - pos[:, None, :, :]
+    return jnp.sqrt(jnp.sum(diff ** 2, axis=-1) + _DIST_GUARD)
+
+
+def radius_pair_mask(
+    dist: jnp.ndarray, node_mask: jnp.ndarray, cutoff: float
+) -> jnp.ndarray:
+    """[B, N, N] boolean mask of valid (i != j, both real, d < cutoff) pairs."""
+    b, n, _ = dist.shape
+    m = node_mask.reshape(b, n)
+    pair = m[:, :, None] & m[:, None, :]
+    eye = jnp.eye(n, dtype=bool)[None]
+    return pair & (~eye) & (dist < cutoff)
+
+
+class SchNetInteraction(nn.Module):
+    """One interaction block (ref schnet.py:138-195) as a dense einsum."""
+
+    hidden_channels: int
+    num_filters: int
+    num_gaussians: int
+    cutoff: float
+
+    @nn.compact
+    def __call__(self, h, edge_attr, cos_env, pair_mask):
+        # filter net over the gaussian-expanded distances [B,N,N,G] -> [B,N,N,Fil]
+        w = nn.Dense(self.num_filters, kernel_init=xavier_uniform, bias_init=zeros_init)(edge_attr)
+        w = shifted_softplus(w)
+        w = nn.Dense(self.num_filters, kernel_init=xavier_uniform, bias_init=zeros_init)(w)
+        w = w * cos_env[..., None] * pair_mask[..., None]
+
+        x = nn.Dense(self.num_filters, use_bias=False, kernel_init=xavier_uniform)(h)
+        # CFConv aggregation: h_i = sum_j W_ij * x_j  (ref schnet.py:185-195)
+        x = jnp.einsum("bijf,bjf->bif", w, x)
+        x = nn.Dense(self.hidden_channels, kernel_init=xavier_uniform, bias_init=zeros_init)(x)
+        x = shifted_softplus(x)
+        x = nn.Dense(self.hidden_channels, kernel_init=xavier_uniform, bias_init=zeros_init)(x)
+        return x
+
+
+class SchNet(nn.Module):
+    """SchNet encoder (ref schnet.py:16-135).
+
+    ``__call__`` takes atomic-number indices (0-based, 119 classes), positions
+    and the node mask from a :class:`GraphBatch`; returns ``(pooled, latent)``
+    where ``latent`` is the per-node representation fed to the SDE models
+    (``return_latent=True`` path of the reference, schnet.py:123-125).
+    """
+
+    hidden_channels: int = 128
+    num_filters: int = 128
+    num_interactions: int = 6
+    num_gaussians: int = 51
+    cutoff: float = 10.0
+    node_class: int = NUM_ATOM_CLASSES
+    readout: str = "mean"
+
+    @nn.compact
+    def __call__(
+        self,
+        z: jnp.ndarray,
+        pos: jnp.ndarray,
+        node_mask: jnp.ndarray,
+        num_graphs: int,
+        n_max: int,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        h = nn.Embed(self.node_class, self.hidden_channels,
+                     embedding_init=xavier_uniform)(jnp.clip(z, 0, self.node_class - 1))
+
+        pos3 = pos.reshape(num_graphs, n_max, 3)
+        dist = pairwise_distances(pos3)
+        pair_mask = radius_pair_mask(dist, node_mask, self.cutoff)
+        edge_attr = gaussian_smearing(dist, 0.0, self.cutoff, self.num_gaussians)
+        cos_env = 0.5 * (jnp.cos(dist * math.pi / self.cutoff) + 1.0)
+
+        h = h.reshape(num_graphs, n_max, self.hidden_channels)
+        for _ in range(self.num_interactions):
+            h = h + SchNetInteraction(
+                self.hidden_channels, self.num_filters, self.num_gaussians, self.cutoff
+            )(h, edge_attr, cos_env, pair_mask)
+
+        h = nn.Dense(self.hidden_channels, kernel_init=xavier_uniform, bias_init=zeros_init)(h)
+        h = shifted_softplus(h)
+        h = nn.Dense(self.hidden_channels, kernel_init=xavier_uniform, bias_init=zeros_init)(h)
+
+        m = node_mask.reshape(num_graphs, n_max, 1).astype(h.dtype)
+        h = h * m
+        if self.readout in ("add", "sum"):
+            pooled = h.sum(axis=1)
+        elif self.readout == "mean":
+            pooled = h.sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+        else:
+            raise ValueError(f"unknown readout {self.readout}")
+        latent = h.reshape(num_graphs * n_max, self.hidden_channels)
+        return pooled, latent
+
+    def encode_batch(self, batch: GraphBatch):
+        return self(
+            batch.atomic_numbers, batch.positions, batch.node_mask,
+            batch.num_graphs, batch.n_max,
+        )

@@ -1,0 +1,365 @@
+"""3D->2D dense node/adjacency score models.
+
+Re-design of the reference's dense diffusion stack for padded TPU batches:
+- NodeNetworkDense: normalized dense-GCN layer
+  (reference Geom3D/models/MoleculeSDE/layers/node_network_dense.py:25-88)
+- EdgeLayer / EdgeNetworkDense: multi-head tanh attention over node features
+  co-evolving multi-channel adjacencies
+  (reference layers/edge_network_dense.py:33-128)
+- Edge/NodeScoreNetworkDense (+ "_03" 3D-injection variants)
+  (reference invariant_scorenetwork_dense.py)
+- SDEModel3Dto2D: the three conditioned diffusion variants
+  (reference SDE_model_3D_to_2D_node_adj_dense.py)
+
+Everything operates on dense ``[B, N, N]`` tensors with a fixed bucket ``N``,
+so the reference's per-batch dynamic ``max_num_nodes`` densification
+(reference l.123-131) becomes a free reshape of the node-major padded batch.
+All matmuls are batched and MXU-shaped.  Loss scale note: the reference's
+``reduce_op`` averages over ``batch_max_num_nodes``-padded rows; with a fixed
+bucket the denominator is ``n_max`` instead — identical when the bucket is
+tight, otherwise a constant factor.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from moleculesde_tpu.core.batch import GraphBatch, NUM_ATOM_CLASSES
+from moleculesde_tpu.core.masks import mask_adjs, mask_x, node_flags
+from moleculesde_tpu.models.layers import MLP, xavier_uniform, zeros_init
+from moleculesde_tpu.ops.frames import EPSILON
+from moleculesde_tpu.sde import SDE, make_sde
+
+
+def pow_tensor(adj: jnp.ndarray, cnum: int) -> jnp.ndarray:
+    """Stack adjacency matrix powers [B,N,N] -> [B,cnum,N,N]
+    (ref invariant_scorenetwork_dense.py:28-37)."""
+    xs = [adj]
+    cur = adj
+    for _ in range(cnum - 1):
+        cur = jnp.einsum("bij,bjk->bik", cur, adj)
+        xs.append(cur)
+    return jnp.stack(xs, axis=1)
+
+
+class NodeNetworkDense(nn.Module):
+    """Dense normalized-adjacency GCN: D^-1/2 (A + I) D^-1/2 X W + b
+    (ref node_network_dense.py:46-85)."""
+
+    out_channels: int
+    add_loop: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+        b, n, _ = adj.shape
+        if self.add_loop:
+            eye = jnp.eye(n, dtype=adj.dtype)[None]
+            adj = adj * (1 - eye) + eye
+        out = nn.Dense(self.out_channels, kernel_init=xavier_uniform,
+                       bias_init=zeros_init)(x)
+        deg_inv_sqrt = jnp.clip(adj.sum(-1), 1.0, None) ** -0.5
+        adj = deg_inv_sqrt[..., :, None] * adj * deg_inv_sqrt[..., None, :]
+        return jnp.einsum("bij,bjf->bif", adj, out)
+
+
+class EdgeLayer(nn.Module):
+    """Q/K MLP + dense-GCN V with multi-head symmetric tanh attention
+    (ref edge_network_dense.py:33-82).  ``node_3d_dim > 0`` reproduces the
+    "_03" variant that concatenates the 3D representation into Q/K/V inputs
+    (ref edge_network_dense.py:131-180)."""
+
+    attn_dim: int
+    out_dim: int
+    num_heads: int = 4
+    node_3d_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, adj, node_3d_repr=None):
+        if self.node_3d_dim:
+            qk_in = jnp.concatenate([x, node_3d_repr], axis=-1)
+            v_in = jnp.concatenate([x, node_3d_repr], axis=-1)
+        else:
+            qk_in = x
+            v_in = x
+        q = MLP([2 * self.attn_dim, 2 * self.attn_dim], activation="tanh",
+                name="func_q")(qk_in)
+        k = MLP([2 * self.attn_dim, 2 * self.attn_dim], activation="tanh",
+                name="func_k")(qk_in)
+        v = NodeNetworkDense(self.out_dim, name="func_v")(v_in, adj)
+
+        # chunked heads exactly as the reference's split/cat
+        # (edge_network_dense.py:66-79): chunk width attn_dim // num_heads.
+        ds = self.attn_dim // self.num_heads
+        b, n, qdim = q.shape
+        h = qdim // ds
+        qh = q.reshape(b, n, h, ds)
+        kh = k.reshape(b, n, h, ds)
+        a = jnp.tanh(jnp.einsum("bnhd,bmhd->bhnm", qh, kh) / math.sqrt(ds))
+        a = a.mean(axis=1)
+        a = (a + jnp.swapaxes(a, -1, -2)) / 2.0
+        return v, a
+
+
+class EdgeNetworkDense(nn.Module):
+    """One EdgeLayer per input adjacency channel + channel-fusion MLPs
+    (ref edge_network_dense.py:85-128)."""
+
+    num_linears: int
+    attn_dim: int
+    conv_output_dim: int
+    input_dim: int   # C_in adjacency channels
+    output_dim: int  # C_out adjacency channels
+    num_heads: int = 4
+    node_3d_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, adjc, flags, node_3d_repr=None):
+        attn_maps = []
+        x_list = []
+        for c in range(self.input_dim):
+            v, a = EdgeLayer(
+                self.attn_dim, self.conv_output_dim, self.num_heads,
+                self.node_3d_dim, name=f"attn_{c}",
+            )(x, adjc[:, c], node_3d_repr)
+            attn_maps.append(a)
+            x_list.append(v)
+
+        hidden_dim = 2 * max(self.input_dim, self.output_dim)
+        x_out = MLP([hidden_dim, self.conv_output_dim], activation="elu",
+                    name="multi_channel")(jnp.concatenate(x_list, axis=-1))
+        x_out = jnp.tanh(mask_x(x_out, flags))
+
+        mlp_in = jnp.concatenate(
+            [jnp.stack(attn_maps, axis=-1), jnp.transpose(adjc, (0, 2, 3, 1))], axis=-1
+        )  # [B, N, N, 2*C_in]
+        dims = [hidden_dim] * (self.num_linears - 1) + [self.output_dim]
+        adj_out = MLP(dims, activation="elu", name="mlp")(mlp_in)
+        adj_out = jnp.transpose(adj_out, (0, 3, 1, 2))
+        adj_out = adj_out + jnp.swapaxes(adj_out, -1, -2)
+        adj_out = mask_adjs(adj_out, flags)
+        return x_out, adj_out
+
+
+class EdgeScoreNetworkDense(nn.Module):
+    """Adjacency score network over power-channel stacks
+    (ref invariant_scorenetwork_dense.py:40-93 and _03 at l.134-187)."""
+
+    nhid: int = 16
+    num_layers: int = 4
+    num_linears: int = 3
+    c_init: int = 2
+    c_hid: int = 8
+    c_final: int = 4
+    adim: int = 16
+    num_heads: int = 4
+    node_3d_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, adj, flags, node_3d_repr=None):
+        adjc = pow_tensor(adj, self.c_init)
+        adj_list = [adjc]
+        for i in range(self.num_layers):
+            attn_dim = self.nhid if i == 0 else self.adim
+            c_in = self.c_init if i == 0 else self.c_hid
+            c_out = self.c_final if i == self.num_layers - 1 else self.c_hid
+            x, adjc = EdgeNetworkDense(
+                self.num_linears, attn_dim, self.nhid, c_in, c_out,
+                self.num_heads, self.node_3d_dim, name=f"layer_{i}",
+            )(x, adjc, flags, node_3d_repr)
+            adj_list.append(adjc)
+
+        adjs = jnp.concatenate(adj_list, axis=1)          # [B, fdim, N, N]
+        adjs = jnp.transpose(adjs, (0, 2, 3, 1))          # [B, N, N, fdim]
+        fdim = self.c_hid * (self.num_layers - 1) + self.c_final + self.c_init
+        score = MLP([2 * fdim, 2 * fdim, 1], activation="silu", name="final")(adjs)
+        score = score[..., 0]
+        n = score.shape[1]
+        score = score * (1.0 - jnp.eye(n)[None])          # zero the diagonal
+        return mask_adjs(score, flags)
+
+
+class NodeScoreNetworkDense(nn.Module):
+    """Node score network: dense-GCN stack, tanh, JK-concat, MLP head
+    (ref invariant_scorenetwork_dense.py:96-131 and _03 at l.190-225)."""
+
+    nhid: int = 16
+    depth: int = 4
+    nout: int = NUM_ATOM_CLASSES
+    node_3d_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, adj, flags, node_3d_repr=None):
+        x_list = [x]
+        h = x
+        for i in range(self.depth):
+            if self.node_3d_dim:
+                h_in = jnp.concatenate([h, node_3d_repr], axis=-1)
+            else:
+                h_in = h
+            h = NodeNetworkDense(self.nhid, name=f"layer_{i}")(h_in, adj)
+            h = jnp.tanh(h)
+            x_list.append(h)
+        xs = jnp.concatenate(x_list, axis=-1)
+        fdim = xs.shape[-1]
+        out = MLP([2 * fdim, 2 * fdim, self.nout], activation="silu", name="final")(xs)
+        return mask_x(out, flags)
+
+
+class SDEModel3Dto2D(nn.Module):
+    """Conditioned 3D->2D diffusion over (node one-hots, dense adjacency).
+
+    ``variant`` selects the conditioning (ref SDE_model_3D_to_2D_node_adj_dense.py):
+      1: perturbed = emb3D(repr) + embX(x)                       (l.13-179)
+      2: perturbed = concat(emb3D(repr), embX(x)); 2x-wide nets  (l.182-349)
+      3: like 2 with emb3D(repr) injected at every layer (_03)   (l.352-520)
+    """
+
+    dim3d: int  # = emb_dim of the 3D encoder latent
+    nhid: int = 16
+    num_layers: int = 4
+    num_linears: int = 3
+    c_init: int = 2
+    c_hid: int = 8
+    c_final: int = 4
+    adim: int = 16
+    num_heads: int = 4
+    variant: int = 1
+    noise_mode: str = "discrete"
+    sde_type: str = "VE"
+    beta_min: float = 0.1
+    beta_max: float = 1.0
+    num_diffusion_timesteps: int = 1000
+    num_class_x: int = NUM_ATOM_CLASSES
+    noise_on_one_hot: bool = True
+
+    @property
+    def sde_x(self) -> SDE:
+        return make_sde(self.sde_type, self.beta_min, self.beta_max,
+                        self.num_diffusion_timesteps)
+
+    @property
+    def sde_adj(self) -> SDE:
+        return make_sde(self.sde_type, self.beta_min, self.beta_max,
+                        self.num_diffusion_timesteps)
+
+    def _x_channels(self) -> int:
+        return self.num_class_x if self.noise_on_one_hot else 1
+
+    @nn.compact
+    def _apply_networks(self, node_3d_repr_dense, x, adj, flags):
+        """Condition the node state on the 3D latent (ref l.156 / l.326 /
+        l.496-497) and run both score networks; returns raw (net_x, net_adj)
+        outputs (before the -/std scaling of get_score_fn)."""
+        emb3d = nn.Dense(self.dim3d, kernel_init=xavier_uniform,
+                         name="embedding_3D")(node_3d_repr_dense)
+        embx = nn.Dense(self.dim3d, kernel_init=xavier_uniform,
+                        name="embedding_X")(x)
+        if self.variant == 1:
+            cond, node_3d = emb3d + embx, None
+        else:
+            cond = jnp.concatenate([emb3d, embx], axis=-1)
+            node_3d = emb3d if self.variant == 3 else None
+
+        inject = self.dim3d if self.variant == 3 else 0
+        net_adj = EdgeScoreNetworkDense(
+            nhid=self.nhid, num_layers=self.num_layers, num_linears=self.num_linears,
+            c_init=self.c_init, c_hid=self.c_hid, c_final=self.c_final,
+            adim=self.adim, num_heads=self.num_heads, node_3d_dim=inject,
+            name="edge_score_network",
+        )(cond, adj, flags, node_3d)
+        net_x = NodeScoreNetworkDense(
+            nhid=self.nhid, depth=self.num_layers, nout=self._x_channels(),
+            node_3d_dim=inject, name="node_score_network",
+        )(cond, adj, flags, node_3d)
+        return net_x, net_adj
+
+    # ------------------------------------------------------------------ loss
+    def __call__(self, node_3d_repr, batch, key, anneal_power=0.0,
+                 reduce_mean=True):
+        return self.loss(node_3d_repr, batch, key, anneal_power, reduce_mean)
+
+    def loss(
+        self,
+        node_3d_repr: jnp.ndarray,
+        batch: GraphBatch,
+        key: jax.Array,
+        anneal_power: float = 0.0,
+        reduce_mean: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Joint denoising loss on (x, adj); returns (loss_x, loss_adj)
+        (ref SDE_model_3D_to_2D_node_adj_dense.py:101-179)."""
+        b, n = batch.num_graphs, batch.n_max
+        sde_x, sde_adj = self.sde_x, self.sde_adj
+        k_t, k_adj, k_x = jax.random.split(key, 3)
+
+        # antithetic discrete timesteps, per graph (ref l.111-114)
+        n_steps = self.num_diffusion_timesteps
+        if self.noise_mode == "discrete":
+            half = jax.random.randint(k_t, (b // 2 + 1,), 0, n_steps)
+            t = jnp.concatenate([half, n_steps - half - 1])[:b]
+            t = t / n_steps * (1 - EPSILON) + EPSILON
+        else:
+            t = jax.random.uniform(k_t, (b,)) * (1 - EPSILON) + EPSILON
+
+        # densify: bond-type scalar adjacency + dense 3D latents (ref l.121-131)
+        edge_attr = batch.edge_feats[:, 0].astype(jnp.float32) + 1.0
+        edge_attr = jnp.where(batch.edge_mask, edge_attr, 0.0)
+        adj = batch.dense_adjacency(edge_attr)
+        node_3d = batch.dense_nodes(node_3d_repr)
+        z_idx = batch.dense_nodes(batch.atomic_numbers)
+
+        flags = node_flags(adj)
+
+        # perturb adjacency with symmetric noise (ref l.134-139)
+        z_adj = sde_adj.prior_sampling_sym(k_adj, adj.shape)
+        z_adj = mask_adjs(z_adj, flags)
+        mean_adj, std_adj = sde_adj.marginal_prob(adj, t)
+        perturbed_adj = mean_adj + std_adj[:, None, None] * z_adj
+        perturbed_adj = mask_adjs(perturbed_adj, flags)
+
+        # perturb node states (ref l.142-152)
+        if self.noise_on_one_hot:
+            x0 = jax.nn.one_hot(z_idx, self.num_class_x)
+        else:
+            x0 = z_idx.astype(jnp.float32)[..., None]
+        z_x = mask_x(jax.random.normal(k_x, x0.shape), flags)
+        mean_x, std_x = sde_x.marginal_prob(x0, t)
+        perturbed_x = mean_x + std_x[:, None, None] * z_x
+        perturbed_x = mask_x(perturbed_x, flags)
+
+        net_x, net_adj = self._apply_networks(node_3d, perturbed_x, perturbed_adj, flags)
+        # score = -net / std (ref get_score_fn l.68-99)
+        score_adj = -net_adj / std_adj[:, None, None]
+        score_x = -net_x / std_x[:, None, None]
+
+        if anneal_power == 0.0:
+            losses_x = jnp.square(score_x + z_x)
+            losses_adj = jnp.square(score_adj + z_adj)
+        else:
+            losses_x = jnp.square(score_x + z_x) * (std_x ** anneal_power)[:, None, None]
+            losses_adj = jnp.square(score_adj + z_adj) * (std_adj ** anneal_power)[:, None, None]
+
+        def reduce_op(v):
+            v = v.reshape(v.shape[0], -1)
+            return v.mean(-1) if reduce_mean else 0.5 * v.sum(-1)
+
+        return reduce_op(losses_x).mean(), reduce_op(losses_adj).mean()
+
+    # ------------------------------------------------------------- sampling
+    def score_x(self, node_3d_repr_dense, x, adj, flags, t):
+        """Node score at sampler state (x, adj) (ref inference script
+        pretrain_MoleculeSDE_inference_3D_to_2D_VE_VP.py:227-237)."""
+        net_x, _ = self._apply_networks(node_3d_repr_dense, x, adj, flags)
+        std = self.sde_x.marginal_prob(jnp.zeros_like(adj), t)[1]
+        return -net_x / std[:, None, None]
+
+    def score_adj(self, node_3d_repr_dense, x, adj, flags, t):
+        """Adjacency score at sampler state (x, adj) (ref ibid. l.239-249)."""
+        _, net_adj = self._apply_networks(node_3d_repr_dense, x, adj, flags)
+        std = self.sde_adj.marginal_prob(jnp.zeros_like(adj), t)[1]
+        return -net_adj / std[:, None, None]

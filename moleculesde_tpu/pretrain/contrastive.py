@@ -1,0 +1,117 @@
+"""2D<->3D contrastive alignment losses.
+
+Masked re-implementation of the reference's three similarity metrics
+(reference examples/util.py:22-79): InfoNCE with dot-product logits,
+EBM with cycle-shift negatives, and EBM with permutation negatives
+("EBM_node_dot_prod", the paper's per-node variant — the pretrain driver
+feeds *node-level* representations into these, reference
+pretrain_MoleculeSDE.py:137).
+
+Padding: every row carries a validity mask.  Invalid rows contribute zero
+loss/accuracy; invalid columns are excluded from the InfoNCE softmax.
+Negatives whose permuted/shifted partner is invalid get weight zero.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise binary cross-entropy with logits (torch BCEWithLogitsLoss)."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if mask is None:
+        return x.mean()
+    m = mask.astype(x.dtype)
+    return (x * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def do_cl(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    key: jax.Array,
+    metric: str = "EBM_node_dot_prod",
+    T: float = 0.1,
+    neg_samples: int = 1,
+    mask: Optional[jnp.ndarray] = None,
+    normalize: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One direction of the contrastive loss (ref util.py:22-73).
+
+    Returns (loss, accuracy).  ``mask`` flags valid rows of x/y.
+    """
+    if normalize:
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+    n = x.shape[0]
+
+    if metric == "InfoNCE_dot_prod":
+        logits = (x @ y.T) / T  # [n, n]
+        if mask is not None:
+            logits = jnp.where(mask[None, :], logits, -1e9)  # mask invalid columns
+        labels = jnp.arange(n)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per_row = -logp[jnp.arange(n), labels]
+        loss = _masked_mean(per_row, mask)
+        pred = jnp.argmax(logits, axis=-1)
+        acc = _masked_mean((pred == labels).astype(jnp.float32), mask)
+        return loss, acc
+
+    if metric == "EBM_dot_prod":
+        # cycle-shift negatives (ref util.py:34-50)
+        pred_pos = jnp.sum(x * y, axis=1) / T
+        loss_pos = _masked_mean(_bce_with_logits(pred_pos, jnp.ones_like(pred_pos)), mask)
+        loss_neg = 0.0
+        acc_num = _masked_mean((pred_pos > 0).astype(jnp.float32), mask)
+        for i in range(neg_samples):
+            shift = i + 1
+            neg_y = jnp.roll(y, -shift, axis=0)
+            neg_mask = None if mask is None else mask & jnp.roll(mask, -shift, axis=0)
+            pred_neg = jnp.sum(x * neg_y, axis=1) / T
+            loss_neg = loss_neg + _masked_mean(
+                _bce_with_logits(pred_neg, jnp.zeros_like(pred_neg)), neg_mask)
+            acc_num = acc_num + _masked_mean((pred_neg < 0).astype(jnp.float32), neg_mask)
+        loss = loss_pos + neg_samples * (loss_neg / neg_samples)
+        acc = acc_num / (1 + neg_samples)
+        return loss, acc
+
+    if metric == "EBM_node_dot_prod":
+        # random-permutation negatives (ref util.py:52-68)
+        perm = jax.random.permutation(key, n)
+        neg_y = y[perm]
+        neg_mask = None if mask is None else mask & mask[perm]
+        pred_pos = jnp.sum(x * y, axis=1) / T
+        pred_neg = jnp.sum(x * neg_y, axis=1) / T
+        loss_pos = _masked_mean(_bce_with_logits(pred_pos, jnp.ones_like(pred_pos)), mask)
+        loss_neg = _masked_mean(_bce_with_logits(pred_neg, jnp.zeros_like(pred_neg)), neg_mask)
+        loss = loss_pos + loss_neg
+        acc = 0.5 * (
+            _masked_mean((pred_pos > 0).astype(jnp.float32), mask)
+            + _masked_mean((pred_neg < 0).astype(jnp.float32), neg_mask)
+        )
+        return loss, acc
+
+    raise ValueError(f"unknown CL metric {metric}")
+
+
+def dual_cl(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    key: jax.Array,
+    metric: str = "EBM_node_dot_prod",
+    T: float = 0.1,
+    neg_samples: int = 1,
+    mask: Optional[jnp.ndarray] = None,
+    normalize: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetrized X->Y and Y->X contrastive loss (ref util.py:76-79)."""
+    k1, k2 = jax.random.split(key)
+    l1, a1 = do_cl(x, y, k1, metric, T, neg_samples, mask, normalize)
+    l2, a2 = do_cl(y, x, k2, metric, T, neg_samples, mask, normalize)
+    return (l1 + l2) / 2.0, (a1 + a2) / 2.0

@@ -1,0 +1,111 @@
+"""The jitted joint pretraining step — one XLA program per step.
+
+Equivalent of the reference training inner loop (reference
+examples/pretrain_MoleculeSDE.py:106-156): 2D GIN forward, 3D SchNet/PaiNN
+forward, dual contrastive loss, 2D->3D score-matching loss, 3D->2D dense
+node/adj score-matching loss, one Adam update — but fused into a single
+compiled step with explicit PRNG-key plumbing and donated state buffers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from moleculesde_tpu.core.batch import GraphBatch
+from moleculesde_tpu.models import SDEModel2Dto3D, SDEModel3Dto2D
+from moleculesde_tpu.pretrain.contrastive import dual_cl
+from moleculesde_tpu.pretrain.train_state import (
+    PretrainConfig,
+    PretrainState,
+    make_optimizer,
+)
+
+
+def make_pretrain_step(
+    models: Dict[str, Any], cfg: PretrainConfig, jit: bool = True
+) -> Callable[[PretrainState, GraphBatch, jax.Array, jnp.ndarray],
+              Tuple[PretrainState, Dict[str, jnp.ndarray]]]:
+    """Build the train step.  ``coeff_contrastive`` is passed at call time as
+    a traced scalar so the contrastive warm-skip (reference
+    pretrain_MoleculeSDE.py:339-344) does not trigger recompilation."""
+    tx = make_optimizer(cfg)
+
+    def loss_fn(params, batch_stats, batch: GraphBatch, key: jax.Array,
+                coeff_contrastive: jnp.ndarray):
+        k_drop, k_cl, k_23, k_32 = jax.random.split(key, 4)
+
+        node_2d, mut2d = models["model_2D"].apply(
+            {"params": params["model_2D"], "batch_stats": batch_stats["model_2D"]},
+            batch, deterministic=False, use_running_average=False,
+            rngs={"dropout": k_drop}, mutable=["batch_stats"])
+
+        _, node_3d = models["model_3D"].apply(
+            {"params": params["model_3D"]},
+            batch.atomic_numbers, batch.positions, batch.node_mask,
+            batch.num_graphs, batch.n_max)
+
+        metrics = {}
+        total = 0.0
+
+        cl_loss, cl_acc = dual_cl(
+            node_2d, node_3d, k_cl,
+            metric=cfg.cl_similarity_metric, T=cfg.T,
+            neg_samples=cfg.cl_neg_samples, mask=batch.node_mask,
+            normalize=cfg.normalize)
+        total = total + coeff_contrastive * cl_loss
+        metrics["CL_loss"] = cl_loss
+        metrics["CL_acc"] = cl_acc
+
+        if cfg.coeff_generative_2dto3d > 0:
+            out23, mut23 = models["SDE_2Dto3D_model"].apply(
+                {"params": params["SDE_2Dto3D_model"],
+                 "batch_stats": batch_stats["SDE_2Dto3D_model"]},
+                node_2d, batch, k_23, cfg.anneal_power,
+                deterministic=False, use_running_average=False,
+                rngs={"dropout": k_drop}, mutable=["batch_stats"],
+                method=SDEModel2Dto3D.loss)
+            loss_23 = out23["position"]
+            total = total + cfg.coeff_generative_2dto3d * loss_23
+            metrics["SDE_loss_2Dto3D"] = loss_23
+        else:
+            mut23 = {"batch_stats": batch_stats["SDE_2Dto3D_model"]}
+            metrics["SDE_loss_2Dto3D"] = jnp.zeros(())
+
+        if cfg.coeff_generative_3dto2d > 0:
+            loss_x, loss_adj = models["SDE_3Dto2D_model"].apply(
+                {"params": params["SDE_3Dto2D_model"]},
+                node_3d, batch, k_32, cfg.anneal_power, cfg.reduce_mean,
+                method=SDEModel3Dto2D.loss)
+            loss_32 = 0.5 * (loss_x + loss_adj)
+            total = total + cfg.coeff_generative_3dto2d * loss_32
+            metrics["SDE_loss_3Dto2D"] = loss_32
+        else:
+            metrics["SDE_loss_3Dto2D"] = jnp.zeros(())
+
+        new_batch_stats = {
+            "model_2D": mut2d["batch_stats"],
+            "SDE_2Dto3D_model": mut23["batch_stats"],
+        }
+        metrics["loss"] = total
+        return total, (metrics, new_batch_stats)
+
+    def step_fn(state: PretrainState, batch: GraphBatch, key: jax.Array,
+                coeff_contrastive: jnp.ndarray):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, key, coeff_contrastive)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_bs, opt_state=new_opt,
+            step=state.step + 1)
+        return new_state, metrics
+
+    if jit:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn

@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moleculesde_tpu.data.synthetic import synthetic_batch
+from moleculesde_tpu.pretrain import (
+    PretrainConfig,
+    create_pretrain_state,
+    do_cl,
+    dual_cl,
+    make_pretrain_step,
+)
+
+
+# ----------------------------------------------------------------- contrastive
+def test_infonce_perfect_alignment_low_loss():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 4))
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True) * 10  # diag is max logit
+    loss_aligned, acc_aligned = do_cl(x, x, key, "InfoNCE_dot_prod", T=0.1)
+    y = jax.random.normal(jax.random.PRNGKey(1), (8, 4)) * 10
+    loss_rand, _ = do_cl(x, y, key, "InfoNCE_dot_prod", T=0.1)
+    assert float(acc_aligned) == 1.0
+    assert float(loss_aligned) < float(loss_rand)
+
+
+def test_infonce_masked_rows_ignored():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (6, 4))
+    mask = jnp.array([True, True, True, True, False, False])
+    # garbage in masked rows must not change the loss
+    x_dirty = x.at[4:].set(1e3)
+    l1, a1 = do_cl(x, x, key, "InfoNCE_dot_prod", mask=mask)
+    l2, a2 = do_cl(x_dirty, x_dirty, key, "InfoNCE_dot_prod", mask=mask)
+    # masked-out columns get -1e9 logits; masked rows excluded from mean
+    x_valid = x[:4]
+    l3, _ = do_cl(x_valid, x_valid, key, "InfoNCE_dot_prod")
+    np.testing.assert_allclose(float(l1), float(l3), rtol=1e-5)
+
+
+@pytest.mark.parametrize("metric", ["InfoNCE_dot_prod", "EBM_dot_prod", "EBM_node_dot_prod"])
+def test_all_metrics_finite_and_symmetric(metric):
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (10, 6))
+    y = jax.random.normal(jax.random.PRNGKey(3), (10, 6))
+    mask = jnp.ones((10,), dtype=bool)
+    loss, acc = dual_cl(x, y, key, metric=metric, mask=mask)
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(acc) <= 1.0
+
+
+def test_ebm_node_dot_prod_grad():
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (6, 4))
+    y = jax.random.normal(jax.random.PRNGKey(5), (6, 4))
+    g = jax.grad(lambda a: dual_cl(a, y, key)[0])(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0
+
+
+# ------------------------------------------------------------- pretrain step
+@pytest.fixture(scope="module")
+def small_cfg():
+    return PretrainConfig(
+        emb_dim=16, num_layer=2, dropout_ratio=0.0,
+        schnet_num_filters=8, schnet_num_interactions=2, schnet_num_gaussians=10,
+        hidden_dim_2dto3d=8)
+
+
+def test_pretrain_step_runs_and_descends(small_cfg):
+    batch = synthetic_batch(num_graphs=4, n_max=8, seed=2)
+    key = jax.random.PRNGKey(0)
+    models, state = create_pretrain_state(small_cfg, batch, key)
+    step = make_pretrain_step(models, small_cfg)
+
+    losses = []
+    fixed = jax.random.PRNGKey(42)  # same noise/timesteps -> deterministic objective
+    for i in range(4):
+        state, metrics = step(state, batch, fixed, jnp.asarray(1.0))
+        assert np.isfinite(float(metrics["loss"]))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 4
+    # optimizing a deterministic objective on the same batch must descend
+    assert losses[-1] < losses[0]
+
+
+def test_pretrain_contrastive_skip_coefficient(small_cfg):
+    """coeff_contrastive=0 (warm-skip epochs) removes the CL term without
+    recompiling (ref pretrain_MoleculeSDE.py:339-344)."""
+    batch = synthetic_batch(num_graphs=4, n_max=8, seed=2)
+    key = jax.random.PRNGKey(0)
+    models, state = create_pretrain_state(small_cfg, batch, key)
+    step = make_pretrain_step(models, small_cfg)
+    _, m1 = step(state, batch, key, jnp.asarray(0.0))
+    assert np.isfinite(float(m1["loss"]))
+    assert np.isfinite(float(m1["CL_loss"]))
+
+
+def test_pretrain_painn_variant():
+    cfg = PretrainConfig(
+        emb_dim=16, num_layer=2, dropout_ratio=0.0, model_3d="PaiNN",
+        painn_n_interactions=2, painn_n_rbf=8, hidden_dim_2dto3d=8,
+        sde_2dto3d_variant=2, sde_3dto2d_variant=2)
+    batch = synthetic_batch(num_graphs=4, n_max=8, seed=3)
+    key = jax.random.PRNGKey(1)
+    models, state = create_pretrain_state(cfg, batch, key)
+    step = make_pretrain_step(models, cfg)
+    state, metrics = step(state, batch, key, jnp.asarray(1.0))
+    assert np.isfinite(float(metrics["loss"]))
