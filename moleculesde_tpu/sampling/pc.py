@@ -1,0 +1,239 @@
+"""Reverse-SDE predictor-corrector samplers under ``lax.scan``.
+
+TPU re-design of the reference inference scripts:
+- 2D->3D conformer generation (reference
+  examples/pretrain_MoleculeSDE_inference_2D_to_3D_VE_VP.py:92-212):
+  ReverseDiffusionPredictor + LangevinCorrector over
+  ``linspace(T, eps, N)``, conditioning representation computed once.
+- 3D->2D joint (x, adj) generation (reference
+  examples/pretrain_MoleculeSDE_inference_3D_to_2D_VE_VP.py:95-252):
+  interleaved corrector/predictor updates for adj then x per timestep, with
+  oracle node flags from the true adjacency.
+
+The reference loops 1000 Python iterations with per-step H2D syncs (and ships
+debug early-breaks at step 10, l.130-132); here the whole chain is one
+``lax.scan`` inside jit — the full N steps compile once and run on-device.
+All reference semantics are preserved, including the global (batch-mean) SNR
+step-size rule and the corrector's stale conditioning within inner steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moleculesde_tpu.core.batch import GraphBatch
+from moleculesde_tpu.core.masks import mask_adjs, mask_x, node_flags
+from moleculesde_tpu.models import SDEModel2Dto3D, SDEModel3Dto2D
+
+
+def repeat_graph_batch(graph: dict, num_repeat: int, n_max: int,
+                       e_max: int, ext_e_max: Optional[int] = None) -> GraphBatch:
+    """Clone one molecule ``num_repeat`` times into a padded batch
+    (TPU equivalent of the reference's ``repeat_data``, inference 2D->3D l.29-39)."""
+    from moleculesde_tpu.core.batch import pad_graphs
+
+    return pad_graphs([graph] * num_repeat, n_max=n_max, e_max=e_max,
+                      ext_e_max=ext_e_max)
+
+
+def _masked_mean_rownorm(v: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """mean over rows of ||row|| (reference corrector's global SNR statistic,
+    2D->3D inference l.207-208). ``v``: [R, ...] flattened per row."""
+    flat = v.reshape(v.shape[0], -1)
+    norms = jnp.sqrt(jnp.sum(flat ** 2, axis=-1) + 1e-24)
+    if mask is None:
+        return norms.mean()
+    m = mask.astype(norms.dtype)
+    return (norms * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def sample_positions_pc(
+    model: SDEModel2Dto3D,
+    variables: Dict[str, Any],
+    node_2d_repr: jnp.ndarray,
+    batch: GraphBatch,
+    key: jax.Array,
+    *,
+    n_steps: Optional[int] = None,
+    snr: float = 0.2,
+    scale_eps: float = 0.9,
+    corrector_steps: int = 1,
+    eps: float = 1e-4,
+    denoise: bool = True,
+    probability_flow: bool = False,
+) -> jnp.ndarray:
+    """Generate 3D conformers from 2D graphs with PC sampling.
+
+    Returns positions ``[N_nodes, 3]`` (the ``x_mean`` of the final predictor
+    step when ``denoise``, matching reference l.135-138).
+    """
+    sde = model.sde_pos
+    diff_steps = n_steps if n_steps is not None else sde.N
+    timesteps = jnp.linspace(sde.T, eps, diff_steps)
+    mask = batch.node_mask
+
+    k_init, k_scan = jax.random.split(key)
+    pos = sde.prior_sampling(k_init, batch.positions.shape)
+    pos = pos * mask[:, None]
+
+    def get_score(pos, t_nodes):
+        return model.apply(variables, node_2d_repr, batch, pos, t_nodes,
+                           method=SDEModel2Dto3D.get_score)
+
+    def corrector(pos, t_nodes, key):
+        alpha = sde.corrector_alpha(t_nodes)  # [N]
+        x = pos
+        x_mean = pos
+        for _ in range(corrector_steps):
+            grad = get_score(x, t_nodes)
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, x.shape) * mask[:, None]
+            grad_norm = _masked_mean_rownorm(grad, mask)
+            noise_norm = _masked_mean_rownorm(noise, mask)
+            step_size = (snr * noise_norm / jnp.maximum(grad_norm, 1e-12)) ** 2 * 2 * alpha
+            x_mean = x + step_size[:, None] * grad
+            x = x_mean + jnp.sqrt(step_size * 2)[:, None] * noise * scale_eps
+        return x, x_mean
+
+    def predictor(pos, t_nodes, key):
+        score = get_score(pos, t_nodes)
+        f, G = sde.reverse_discretize(pos, t_nodes, score, probability_flow)
+        noise = jax.random.normal(key, pos.shape) * mask[:, None]
+        x_mean = pos - f
+        x = x_mean + G[:, None] * noise
+        return x, x_mean
+
+    def scan_step(carry, t):
+        pos, _, key = carry
+        key, kc, kp = jax.random.split(key, 3)
+        t_nodes = jnp.full((batch.num_nodes,), t)
+        pos, _ = corrector(pos, t_nodes, kc)
+        pos, pos_mean = predictor(pos, t_nodes, kp)
+        pos = pos * mask[:, None]
+        pos_mean = pos_mean * mask[:, None]
+        return (pos, pos_mean, key), None
+
+    (pos, pos_mean, _), _ = jax.lax.scan(
+        scan_step, (pos, pos, k_scan), timesteps)
+    return pos_mean if denoise else pos
+
+
+def sample_graph_pc(
+    model: SDEModel3Dto2D,
+    variables: Dict[str, Any],
+    node_3d_repr: jnp.ndarray,
+    batch: GraphBatch,
+    key: jax.Array,
+    *,
+    n_steps: Optional[int] = None,
+    snr: float = 0.2,
+    scale_eps: float = 0.9,
+    corrector_steps: int = 1,
+    eps: float = 1e-4,
+    probability_flow: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Joint (x, adj) PC generation conditioned on the 3D latent.
+
+    Oracle node flags come from the true bond adjacency (atom count given;
+    reference 3D->2D inference l.119-126).  Returns (x, adj, x_mean, adj_mean),
+    shapes [B, N, C] / [B, N, N].
+    """
+    sde_x, sde_adj = model.sde_x, model.sde_adj
+    diff_steps = n_steps if n_steps is not None else sde_adj.N
+    timesteps = jnp.linspace(sde_adj.T, eps, diff_steps)
+    b, n = batch.num_graphs, batch.n_max
+    c = model.num_class_x if model.noise_on_one_hot else 1
+
+    edge_attr = batch.edge_feats[:, 0].astype(jnp.float32) + 1.0
+    edge_attr = jnp.where(batch.edge_mask, edge_attr, 0.0)
+    adj_oracle = batch.dense_adjacency(edge_attr)
+    flags = node_flags(adj_oracle)
+    node_3d = batch.dense_nodes(node_3d_repr)
+
+    k_x, k_adj, k_scan = jax.random.split(key, 3)
+    x = mask_x(sde_x.prior_sampling(k_x, (b, n, c)), flags)
+    # NB: reference initializes adj from the *asymmetric* prior (l.121)
+    adj = mask_adjs(sde_adj.prior_sampling(k_adj, (b, n, n)), flags)
+
+    def score_x(x_cond, adj_in, t):
+        return model.apply(variables, node_3d, x_cond, adj_in, flags, t,
+                           method=SDEModel3Dto2D.score_x)
+
+    def score_adj(x_cond, adj_in, t):
+        return model.apply(variables, node_3d, x_cond, adj_in, flags, t,
+                           method=SDEModel3Dto2D.score_adj)
+
+    def gen_noise_x(key):
+        return mask_x(jax.random.normal(key, (b, n, c)), flags)
+
+    def gen_noise_adj(key):
+        z = jax.random.normal(key, (b, n, n))
+        z = jnp.triu(z, k=1)
+        return mask_adjs(z + jnp.swapaxes(z, -1, -2), flags)
+
+    def corrector_x(x_in, adj_in, t, key):
+        alpha = sde_x.corrector_alpha(t)
+        # conditioning held at the entry x (reference corrector quirk, l.227-236)
+        grad = score_x(x_in, adj_in, t)
+        xx, x_mean = x_in, x_in
+        for _ in range(corrector_steps):
+            key, sub = jax.random.split(key)
+            noise = gen_noise_x(sub)
+            gn = jnp.sqrt(jnp.sum(grad.reshape(b, -1) ** 2, -1) + 1e-24).mean()
+            nn_ = jnp.sqrt(jnp.sum(noise.reshape(b, -1) ** 2, -1) + 1e-24).mean()
+            step = (snr * nn_ / jnp.maximum(gn, 1e-12)) ** 2 * 2 * alpha
+            x_mean = xx + step[:, None, None] * grad
+            xx = x_mean + jnp.sqrt(step * 2)[:, None, None] * noise * scale_eps
+        return xx, x_mean
+
+    def corrector_adj(x_in, adj_in, t, key):
+        alpha = sde_adj.corrector_alpha(t)
+        aa, adj_mean = adj_in, adj_in
+        for _ in range(corrector_steps):
+            grad = score_adj(x_in, aa, t)
+            key, sub = jax.random.split(key)
+            noise = gen_noise_adj(sub)
+            gn = jnp.sqrt(jnp.sum(grad.reshape(b, -1) ** 2, -1) + 1e-24).mean()
+            nn_ = jnp.sqrt(jnp.sum(noise.reshape(b, -1) ** 2, -1) + 1e-24).mean()
+            step = (snr * nn_ / jnp.maximum(gn, 1e-12)) ** 2 * 2 * alpha
+            adj_mean = aa + step[:, None, None] * grad
+            aa = adj_mean + jnp.sqrt(step * 2)[:, None, None] * noise * scale_eps
+        return aa, adj_mean
+
+    def predictor_x(x_in, adj_in, t, key):
+        score = score_x(x_in, adj_in, t)
+        f, G = sde_x.reverse_discretize(x_in, t, score, probability_flow)
+        z = gen_noise_x(key)
+        x_mean = x_in - f
+        return x_mean + G[:, None, None] * z, x_mean
+
+    def predictor_adj(x_in, adj_in, t, key):
+        score = score_adj(x_in, adj_in, t)
+        f, G = sde_adj.reverse_discretize(adj_in, t, score, probability_flow)
+        z = gen_noise_adj(key)
+        adj_mean = adj_in - f
+        return adj_mean + G[:, None, None] * z, adj_mean
+
+    def scan_step(carry, t):
+        x, adj, _, _, key = carry
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        tv = jnp.full((b,), t)
+
+        # corrector phase: both read the pre-phase (x, adj) (ref l.135-138)
+        _x, _adj = x, adj
+        adj, adj_mean = corrector_adj(_x, _adj, tv, k1)
+        x, x_mean = corrector_x(_x, _adj, tv, k2)
+
+        # predictor phase (ref l.140-143)
+        _x, _adj = x, adj
+        adj, adj_mean = predictor_adj(_x, _adj, tv, k3)
+        x, x_mean = predictor_x(_x, _adj, tv, k4)
+        return (x, adj, x_mean, adj_mean, key), None
+
+    init = (x, adj, x, adj, k_scan)
+    (x, adj, x_mean, adj_mean, _), _ = jax.lax.scan(scan_step, init, timesteps)
+    return x, adj, x_mean, adj_mean

@@ -1,0 +1,77 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moleculesde_tpu.data.synthetic import synthetic_batch
+from moleculesde_tpu.parallel import (
+    make_mesh,
+    make_sharded_pretrain_step,
+    replicate,
+    shard_batch,
+)
+from moleculesde_tpu.pretrain import PretrainConfig, create_pretrain_state, make_pretrain_step
+
+
+def _cfg():
+    return PretrainConfig(
+        emb_dim=16, num_layer=2, dropout_ratio=0.0,
+        schnet_num_filters=8, schnet_num_interactions=2, schnet_num_gaussians=10,
+        hidden_dim_2dto3d=8)
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8,)
+
+
+def test_sharded_pretrain_step_runs():
+    cfg = _cfg()
+    batch = synthetic_batch(num_graphs=8, n_max=8, seed=0)
+    key = jax.random.PRNGKey(0)
+    models, state = create_pretrain_state(cfg, batch, key)
+
+    mesh = make_mesh(8)
+    state = replicate(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    step = make_sharded_pretrain_step(models, cfg, mesh)
+    new_state, metrics = step(state, sbatch, key, jnp.asarray(1.0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_sharded_matches_single_device():
+    """Data-parallel step computes the same loss as the single-device step."""
+    cfg = _cfg()
+    batch = synthetic_batch(num_graphs=8, n_max=8, seed=1)
+    key = jax.random.PRNGKey(0)
+    models, state = create_pretrain_state(cfg, batch, key)
+
+    single_step = make_pretrain_step(models, cfg, jit=True)
+    _, m_single = single_step(
+        jax.tree_util.tree_map(jnp.copy, state), batch, key, jnp.asarray(1.0))
+
+    mesh = make_mesh(4)
+    rstate = replicate(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    sbatch = shard_batch(batch, mesh)
+    sharded_step = make_sharded_pretrain_step(models, cfg, mesh)
+    _, m_shard = sharded_step(rstate, sbatch, key, jnp.asarray(1.0))
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(m_single["SDE_loss_2Dto3D"]), float(m_shard["SDE_loss_2Dto3D"]),
+        rtol=2e-4)
+
+
+def test_graft_entry_points():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, example_args = ge.entry()
+    loss = jax.jit(fn)(*example_args)
+    assert np.isfinite(float(loss))
+
+    ge.dryrun_multichip(8)
