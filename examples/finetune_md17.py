@@ -1,0 +1,185 @@
+"""MD17 energy + force finetuning CLI.
+
+TPU re-design of the reference script (reference examples/finetune_MD17.py):
+energy from SchNet/PaiNN + head, forces as the negative position gradient,
+loss = MD17_energy_coeff * L1(E) + MD17_force_coeff * L1(F), 1000/1000/rest
+shuffled split, optional energy/force normalization by train statistics.
+
+Examples:
+  python examples/finetune_md17.py --dataset=synthetic --epochs=2
+  python examples/finetune_md17.py --task=aspirin \
+      --input_data_dir=/data/MD17 --epochs=1000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from config import parse_args
+
+from moleculesde_tpu.data.loader import GraphLoader, suggest_buckets
+from moleculesde_tpu.data.splitters import md17_split
+from moleculesde_tpu.finetune import create_md17_state, make_md17_steps
+from moleculesde_tpu.finetune.regression import RegressionModel
+from moleculesde_tpu.models import PaiNN, SchNet
+from moleculesde_tpu.utils.checkpoints import (
+    load_pretrain_checkpoint,
+    save_pretrain_checkpoint,
+)
+from moleculesde_tpu.utils.metrics import MetricsLogger
+from moleculesde_tpu.utils.schedulers import make_lr_schedule
+
+
+def load_data(args):
+    if args.dataset == "synthetic":
+        from moleculesde_tpu.data.synthetic import random_molecule
+
+        rng = np.random.default_rng(args.seed)
+        graphs = []
+        for _ in range(args.synthetic_molecules or 128):
+            g = random_molecule(rng, 8, extend=False)
+            g["y"] = np.array([np.abs(g["positions"]).sum()], dtype=np.float32)
+            g["forces"] = rng.normal(size=g["positions"].shape).astype(np.float32)
+            graphs.append(g)
+        return graphs
+    from moleculesde_tpu.data.datasets import load_md17
+
+    npz = os.path.join(args.input_data_dir, "MD17", "raw", f"{args.task}_dft.npz")
+    graphs, _ = load_md17(npz)
+    return graphs
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    graphs = load_data(args)
+    train_idx, valid_idx, test_idx = md17_split(len(graphs), seed=args.seed)
+    n_max = args.n_max or suggest_buckets(graphs)
+    bs = args.MD17_train_batch_size if args.dataset != "synthetic" else args.batch_size
+    bs = max(bs, 1)
+
+    def make_loader(idx, shuffle, batch_size):
+        return GraphLoader(
+            [graphs[i] for i in idx], batch_size=batch_size, n_max=n_max,
+            e_max=args.e_max_factor * n_max, shuffle=shuffle,
+            drop_last=shuffle, seed=args.seed, num_tasks=1, with_forces=True)
+
+    train_loader = make_loader(train_idx, True, bs)
+    val_loader = make_loader(valid_idx, False, args.batch_size)
+    test_loader = make_loader(test_idx, False, args.batch_size)
+
+    # optional normalization by train statistics (ref finetune_MD17.py:218-232)
+    if args.energy_force_with_normalization:
+        train_e = np.array([graphs[i]["y"][0] for i in train_idx])
+        train_f = np.concatenate([graphs[i]["forces"] for i in train_idx])
+        e_shift = float(train_e.mean())
+        e_scale = float(np.abs(train_f).mean() + 1e-12)
+    else:
+        e_shift, e_scale = 0.0, 1.0
+
+    if args.model_3d == "SchNet":
+        encoder = SchNet(
+            hidden_channels=args.emb_dim,
+            num_filters=args.SchNet_num_filters,
+            num_interactions=args.SchNet_num_interactions,
+            num_gaussians=args.SchNet_num_gaussians,
+            cutoff=args.SchNet_cutoff,
+            readout=args.SchNet_readout)
+        head = "linear"
+    else:
+        encoder = PaiNN(
+            n_atom_basis=args.emb_dim,
+            n_interactions=args.PaiNN_n_interactions,
+            n_rbf=args.PaiNN_n_rbf,
+            cutoff=args.PaiNN_radius_cutoff,
+            readout=args.PaiNN_readout)
+        head = "mlp"
+    model = RegressionModel(encoder=encoder, head=head)
+
+    pretrained = None
+    if args.input_model_file:
+        pretrained, _ = load_pretrain_checkpoint(args.input_model_file,
+                                                 component="model_3D")
+        print(f"loaded pretrained model_3D from {args.input_model_file}")
+
+    key = jax.random.PRNGKey(args.seed)
+    init_batch, _ = next(iter(train_loader))
+    schedule = make_lr_schedule(
+        args.lr_scheduler, args.lr, args.epochs, max(len(train_loader), 1),
+        args.lr_decay_factor, args.lr_decay_step_size, args.min_lr,
+        args.StepLRCustomized_scheduler)
+    state, tx = create_md17_state(
+        model, init_batch, key, lr=args.lr, schedule=schedule,
+        weight_decay=args.decay, pretrained_encoder_params=pretrained)
+    train_step, eval_step = make_md17_steps(
+        model, tx, args.MD17_energy_coeff, args.MD17_force_coeff,
+        energy_scale=e_scale, energy_shift=e_shift)
+
+    def evaluate(loader):
+        e_err = f_err = 0.0
+        e_cnt = f_cnt = 0
+        for batch, n_real in loader:
+            pred_e, pred_f = eval_step(state, batch)
+            pe = np.asarray(pred_e)[:n_real]
+            y = np.asarray(batch.y)[:n_real, 0]
+            e_err += np.abs(pe - y).sum()
+            e_cnt += n_real
+            pf = np.asarray(pred_f).reshape(batch.num_graphs, batch.n_max, 3)[:n_real]
+            yf = np.asarray(batch.forces).reshape(batch.num_graphs, batch.n_max, 3)[:n_real]
+            mask = np.asarray(batch.node_mask).reshape(
+                batch.num_graphs, batch.n_max)[:n_real]
+            err = np.abs(pf - yf) * mask[..., None]
+            # NaN-force masking at eval (ref finetune_MD17.py:127-130)
+            err = np.nan_to_num(err, nan=0.0)
+            f_err += err.sum()
+            f_cnt += mask.sum() * 3
+        return e_err / max(e_cnt, 1), f_err / max(f_cnt, 1)
+
+    logger = MetricsLogger(args.output_model_dir or None)
+    best_val = float("inf")
+    best_metrics = (0.0, 0.0)
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.time()
+        total, nb = 0.0, 0
+        for batch, n_real in train_loader:
+            gm = jnp.arange(batch.num_graphs) < n_real
+            y_e = (batch.y[:, 0] - e_shift) / e_scale
+            y_f = batch.forces / e_scale
+            state, metrics = train_step(state, batch, y_e, y_f, gm)
+            total += float(metrics["loss"])
+            nb += 1
+        val_e, val_f = evaluate(val_loader)
+        test_e, test_f = evaluate(test_loader) if args.eval_test else (0.0, 0.0)
+        score = args.MD17_energy_coeff * val_e + args.MD17_force_coeff * val_f
+        logger.log(epoch, {"loss": total / max(nb, 1),
+                           "val_energy_mae": val_e, "val_force_mae": val_f,
+                           "test_energy_mae": test_e, "test_force_mae": test_f},
+                   echo=(f"Epoch: {epoch}\tLoss: {total / max(nb, 1):.5f}\t"
+                         f"val E MAE: {val_e:.5f}\tval F MAE: {val_f:.5f}\t"
+                         f"test E MAE: {test_e:.5f}\ttest F MAE: {test_f:.5f}"))
+        print(f"Took\t{time.time() - t0}\n")
+        if score < best_val:
+            best_val = score
+            best_metrics = (test_e, test_f)
+            if args.output_model_dir:
+                save_pretrain_checkpoint(
+                    args.output_model_dir,
+                    {"model": jax.device_get(state.params)}, best=True)
+
+    print(f"best test E MAE: {best_metrics[0]:.6f}\tF MAE: {best_metrics[1]:.6f}")
+    if args.output_model_dir:
+        save_pretrain_checkpoint(
+            args.output_model_dir, {"model": jax.device_get(state.params)},
+            best=False)
+    return best_metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Joint MoleculeSDE pretraining CLI.
+
+TPU re-design of the reference driver (reference
+examples/pretrain_MoleculeSDE.py): same flag surface, same four-component
+checkpoint contract, same per-epoch console metrics — but the training step
+is one jitted XLA program over padded batches, optionally data-parallel over
+a device mesh.
+
+Examples:
+  python examples/pretrain.py --dataset=synthetic --synthetic_molecules=1024 \
+      --epochs=2 --batch_size=64 --CL_similarity_metric=EBM_node_dot_prod \
+      --output_model_dir=/tmp/pretrain_out
+  python examples/pretrain.py --dataset=PCQM4Mv2 --input_data_dir=/data \
+      --batch_size=256 --epochs=50
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from config import parse_args
+
+from moleculesde_tpu.data.loader import GraphLoader, suggest_buckets
+from moleculesde_tpu.data.synthetic import random_molecule
+from moleculesde_tpu.pretrain import PretrainConfig, create_pretrain_state, make_pretrain_step
+from moleculesde_tpu.utils.checkpoints import save_pretrain_checkpoint, save_train_state
+from moleculesde_tpu.utils.metrics import MetricsLogger
+
+MODEL_2DTO3D_VARIANTS = {
+    "SDEModel2Dto3D_01": 1, "SDEModel2Dto3D_02": 2,
+    "SDEModel2Dto3D_03": 3, "SDEModel2Dto3D_04": 4,
+}
+MODEL_3DTO2D_VARIANTS = {
+    "SDEModel3Dto2D_node_adj_dense": 1,
+    "SDEModel3Dto2D_node_adj_dense_02": 2,
+    "SDEModel3Dto2D_node_adj_dense_03": 3,
+}
+
+
+def load_graphs(args):
+    if args.dataset == "synthetic" or args.synthetic_molecules > 0:
+        n = args.synthetic_molecules or 1024
+        rng = np.random.default_rng(args.seed)
+        return [random_molecule(rng, int(rng.integers(4, args.n_max + 1)))
+                for _ in range(n)]
+    if args.dataset.lower() in ("pcqm4mv2", "pcqm4m-v2"):
+        from moleculesde_tpu.data.datasets import load_pcqm4mv2
+
+        root = os.path.join(args.input_data_dir, args.dataset)
+        return load_pcqm4mv2(root, max_molecules=args.max_molecules or None,
+                             extend=args.use_extend_graph)
+    if args.dataset == "QM9":
+        from moleculesde_tpu.data.datasets import load_qm9
+
+        root = os.path.join(args.input_data_dir, args.dataset)
+        graphs, _ = load_qm9(root, extend=args.use_extend_graph)
+        return graphs
+    raise ValueError(f"unknown pretrain dataset {args.dataset}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    np.random.seed(args.seed)
+
+    graphs = load_graphs(args)
+    n_max = args.n_max or suggest_buckets(graphs)
+    ext_e_max = args.ext_e_max or n_max * n_max
+    loader = GraphLoader(
+        graphs, batch_size=args.batch_size, n_max=n_max,
+        e_max=args.e_max_factor * n_max, ext_e_max=ext_e_max,
+        shuffle=True, drop_last=True, seed=args.seed)
+
+    cfg = PretrainConfig(
+        emb_dim=args.emb_dim, num_layer=args.num_layer, jk=args.JK,
+        dropout_ratio=args.dropout_ratio, gnn_type=args.gnn_type,
+        model_3d=args.model_3d,
+        schnet_num_filters=args.SchNet_num_filters,
+        schnet_num_interactions=args.SchNet_num_interactions,
+        schnet_num_gaussians=args.SchNet_num_gaussians,
+        schnet_cutoff=args.SchNet_cutoff,
+        schnet_readout=args.SchNet_readout,
+        painn_radius_cutoff=args.PaiNN_radius_cutoff,
+        painn_n_interactions=args.PaiNN_n_interactions,
+        painn_n_rbf=args.PaiNN_n_rbf,
+        painn_readout=args.PaiNN_readout,
+        sde_type_2dto3d=args.SDE_type_2Dto3D,
+        sde_type_3dto2d=args.SDE_type_3Dto2D,
+        sde_2dto3d_variant=MODEL_2DTO3D_VARIANTS[args.SDE_2Dto3D_model],
+        sde_3dto2d_variant=MODEL_3DTO2D_VARIANTS[args.SDE_3Dto2D_model],
+        coeff_contrastive=args.SDE_coeff_contrastive,
+        coeff_generative_2dto3d=args.SDE_coeff_generative_2Dto3D,
+        coeff_generative_3dto2d=args.SDE_coeff_generative_3Dto2D,
+        contrastive_skip_epochs=args.SDE_coeff_contrastive_skip_epochs,
+        anneal_power=args.SDE_anneal_power,
+        use_extend_graph=args.use_extend_graph,
+        noise_on_one_hot=args.noise_on_one_hot,
+        cl_similarity_metric=args.CL_similarity_metric,
+        T=args.T, cl_neg_samples=args.CL_neg_samples, normalize=args.normalize,
+        lr=args.lr, decay=args.decay,
+        gnn_2d_lr_scale=args.gnn_2d_lr_scale,
+        gnn_3d_lr_scale=args.gnn_3d_lr_scale,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    init_batch, _ = next(iter(loader))
+    models, state = create_pretrain_state(cfg, init_batch, key)
+
+    n_devices = args.num_devices or 1
+    if n_devices > 1:
+        from moleculesde_tpu.parallel import (
+            make_mesh, make_sharded_pretrain_step, replicate, shard_batch)
+
+        mesh = make_mesh(n_devices)
+        state = replicate(state, mesh)
+        step = make_sharded_pretrain_step(models, cfg, mesh)
+        prep = lambda b: shard_batch(b, mesh)
+    else:
+        step = make_pretrain_step(models, cfg)
+        prep = lambda b: b
+
+    logger = MetricsLogger(args.output_model_dir or None)
+    optimal_loss = 1e10
+
+    for epoch in range(1, args.epochs + 1):
+        coeff_cl = (args.SDE_coeff_contrastive
+                    if epoch > args.SDE_coeff_contrastive_skip_epochs else 0.0)
+        t0 = time.time()
+        accum = {"CL_loss": 0.0, "CL_acc": 0.0,
+                 "SDE_loss_2Dto3D": 0.0, "SDE_loss_3Dto2D": 0.0}
+        n_batches = 0
+        print(f"epoch: {epoch}")
+        for batch, _ in loader:
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, prep(batch), sub, jnp.asarray(coeff_cl))
+            n_batches += 1
+            for k in accum:
+                accum[k] += float(metrics[k])
+        for k in accum:
+            accum[k] /= max(n_batches, 1)
+
+        temp_loss = (
+            coeff_cl * accum["CL_loss"]
+            + args.SDE_coeff_generative_2Dto3D * accum["SDE_loss_2Dto3D"]
+            + args.SDE_coeff_generative_3Dto2D * accum["SDE_loss_3Dto2D"])
+        if temp_loss < optimal_loss and args.output_model_dir:
+            optimal_loss = temp_loss
+            print(f"save model with loss: {optimal_loss:.5f}")
+            save_pretrain_checkpoint(
+                args.output_model_dir, jax.device_get(state.params),
+                jax.device_get(state.batch_stats), best=True)
+
+        logger.log(
+            epoch, accum,
+            echo=("CL Loss: {CL_loss:.5f}\tCL Acc: {CL_acc:.5f}\t\t"
+                  "SDE 2Dto3D Loss: {SDE_loss_2Dto3D:.5f}\t"
+                  "SDE 3Dto2D Loss: {SDE_loss_3Dto2D:.5f}").format(**accum))
+        print(f"Time: {time.time() - t0:.5f}\n")
+
+    if args.output_model_dir:
+        save_pretrain_checkpoint(
+            args.output_model_dir, jax.device_get(state.params),
+            jax.device_get(state.batch_stats), best=False)
+        save_train_state(
+            os.path.join(args.output_model_dir, "train_state.msgpack"),
+            jax.device_get(state), extra={"epoch": args.epochs})
+    return state
+
+
+if __name__ == "__main__":
+    main()

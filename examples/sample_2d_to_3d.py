@@ -1,0 +1,131 @@
+"""2D->3D conformer generation CLI (reverse-SDE PC sampling).
+
+TPU re-design of the reference inference script (reference
+examples/pretrain_MoleculeSDE_inference_2D_to_3D_VE_VP.py): for each test
+molecule, clone it ``num_repeat_SDE_inference`` times into one padded batch,
+compute the 2D conditioning representation once, then run the full
+predictor-corrector chain as a single ``lax.scan`` program (the reference
+loops in Python and ships debug early-breaks at 10 molecules x 11 steps;
+here the full chain runs on-device).  Results are pickled as
+{atom_feats, positions_true, positions_generated [num_repeat, n, 3]}.
+
+Example:
+  python examples/sample_2d_to_3d.py --dataset=synthetic --end=4 \
+      --num_repeat_SDE_inference=4 --output_model_dir=/tmp/gen
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from config import parse_args
+
+from moleculesde_tpu.models import GNN2D, SDEModel2Dto3D
+from moleculesde_tpu.pretrain.train_state import SDE_PRESETS_2DTO3D
+from moleculesde_tpu.sampling import repeat_graph_batch, sample_positions_pc
+from moleculesde_tpu.utils.checkpoints import load_pretrain_checkpoint
+
+MODEL_2DTO3D_VARIANTS = {
+    "SDEModel2Dto3D_01": 1, "SDEModel2Dto3D_02": 2,
+    "SDEModel2Dto3D_03": 3, "SDEModel2Dto3D_04": 4,
+}
+
+
+def load_graphs(args):
+    if args.dataset == "synthetic":
+        from moleculesde_tpu.data.synthetic import random_molecule
+
+        rng = np.random.default_rng(args.seed)
+        return [random_molecule(rng, int(rng.integers(4, args.n_max + 1)))
+                for _ in range(max(args.end, 1))]
+    from moleculesde_tpu.data.datasets import load_pcqm4mv2
+
+    root = os.path.join(args.input_data_dir, args.dataset)
+    return load_pcqm4mv2(root, max_molecules=args.end or None,
+                         extend=args.use_extend_graph)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    graphs = load_graphs(args)
+
+    t23, bmin, bmax, n_steps = SDE_PRESETS_2DTO3D[args.SDE_type_2Dto3D]
+    model_2d = GNN2D(num_layers=args.num_layer, emb_dim=args.emb_dim,
+                     jk=args.JK, drop_ratio=args.dropout_ratio,
+                     gnn_type=args.gnn_type)
+    sde_model = SDEModel2Dto3D(
+        emb_dim=args.emb_dim, hidden_dim=32,
+        variant=MODEL_2DTO3D_VARIANTS[args.SDE_2Dto3D_model], sde_type=t23,
+        beta_min=bmin, beta_max=bmax, num_diffusion_timesteps=n_steps,
+        use_extend_graph=args.use_extend_graph)
+
+    key = jax.random.PRNGKey(args.seed)
+    n_max = args.n_max
+    e_max = args.e_max_factor * n_max
+    ext_e_max = args.ext_e_max or n_max * n_max
+
+    init_batch = repeat_graph_batch(graphs[0], args.num_repeat_SDE_inference,
+                                    n_max, e_max, ext_e_max)
+    if args.input_model_file:
+        all_params, all_bs = load_pretrain_checkpoint(args.input_model_file)
+        v2d = {"params": all_params["model_2D"],
+               "batch_stats": all_bs.get("model_2D", {})}
+        v23 = {"params": all_params["SDE_2Dto3D_model"],
+               "batch_stats": all_bs.get("SDE_2Dto3D_model", {})}
+        print(f"loaded checkpoint {args.input_model_file}")
+    else:
+        v2d = model_2d.init({"params": key, "dropout": key}, init_batch)
+        node_2d0 = jax.numpy.zeros((init_batch.num_nodes, args.emb_dim))
+        v23 = sde_model.init({"params": key, "dropout": key}, node_2d0,
+                             init_batch, key, method=SDEModel2Dto3D.loss)
+
+    sample_steps = args.num_diffusion_timesteps_2Dto3D_inference or n_steps
+
+    @jax.jit
+    def generate(batch, key):
+        node_2d = model_2d.apply(
+            v2d, batch, deterministic=True, use_running_average=True)
+        return sample_positions_pc(
+            sde_model, v23, node_2d, batch, key,
+            n_steps=sample_steps, corrector_steps=args.corrector_steps)
+
+    results = []
+    for i, g in enumerate(graphs[args.start : args.end]):
+        batch = repeat_graph_batch(g, args.num_repeat_SDE_inference,
+                                   n_max, e_max, ext_e_max)
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        pos_gen = np.asarray(generate(batch, sub))
+        n_atoms = g["atom_feats"].shape[0]
+        pos_gen = pos_gen.reshape(args.num_repeat_SDE_inference, n_max, 3)[:, :n_atoms]
+        results.append({
+            "atom_feats": g["atom_feats"],
+            "positions_true": g.get("positions"),
+            "pos_gen": pos_gen,
+            "num_pos_gen": args.num_repeat_SDE_inference,
+        })
+        print(f"molecule {i}: {n_atoms} atoms, "
+              f"{args.num_repeat_SDE_inference} conformers in {time.time()-t0:.2f}s")
+
+    if args.output_model_dir:
+        os.makedirs(args.output_model_dir, exist_ok=True)
+        out = os.path.join(
+            args.output_model_dir,
+            f"2D_to_3D_{args.generator}_{args.start}_{args.end}"
+            f"_repeat_{args.num_repeat_SDE_inference}.pkl")
+        with open(out, "wb") as f:
+            pickle.dump(results, f)
+        print(f"save generated {args.generator} samples to {out} done!")
+    return results
+
+
+if __name__ == "__main__":
+    main()

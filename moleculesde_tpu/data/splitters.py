@@ -162,9 +162,14 @@ def qm9_random_customized_02(num_mols: int, seed: int = 0) -> Split:
 
 def md17_split(num_frames: int, n_train: int = 1000, n_valid: int = 1000,
                seed: int = 42) -> Split:
-    """Shuffled 1000/1000/rest frame split (ref dataset_MD17.py:74-78)."""
+    """Shuffled 1000/1000/rest frame split (ref dataset_MD17.py:74-78).
+    Falls back to 60/20/20 proportions for sets smaller than the fixed
+    counts (synthetic smoke runs)."""
     rng = np.random.RandomState(seed)
     idx = rng.permutation(num_frames)
+    if num_frames <= n_train + n_valid:
+        n_train = int(num_frames * 0.6)
+        n_valid = int(num_frames * 0.2)
     return (
         idx[:n_train],
         idx[n_train : n_train + n_valid],

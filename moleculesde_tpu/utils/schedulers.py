@@ -3,14 +3,17 @@
 Reference finetune scripts choose between CosineAnnealingLR,
 CosineAnnealingWarmRestarts, StepLR, ReduceLROnPlateau and a customized
 multi-step decay (reference examples/finetune_QM9.py:324-346,
-config.py:52-57).  All but plateau are pure step->lr functions compatible
-with optax inject_hyperparams; plateau is a small host-side controller.
+config.py:52-57).  All but plateau are pure step->lr functions built on jnp
+ops (they run under jit via optax.scale_by_schedule); plateau is a small
+host-side controller.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
 
 
 def make_lr_schedule(
@@ -22,13 +25,14 @@ def make_lr_schedule(
     lr_decay_step_size: int = 100,
     min_lr: float = 1e-6,
     custom_steps: Sequence[int] = (150,),
-) -> Callable[[int], float]:
-    """step -> lr schedule (epoch granularity, matching torch semantics)."""
+) -> Callable[[int], jnp.ndarray]:
+    """step -> lr schedule (jit-safe; torch epoch-granularity semantics)."""
     if name == "CosineAnnealingLR":
         t_max = max(epochs * steps_per_epoch, 1)
 
         def sched(step):
-            return min_lr + 0.5 * (lr - min_lr) * (1 + math.cos(math.pi * min(step, t_max) / t_max))
+            t = jnp.minimum(step, t_max)
+            return min_lr + 0.5 * (lr - min_lr) * (1 + jnp.cos(math.pi * t / t_max))
 
         return sched
 
@@ -37,7 +41,7 @@ def make_lr_schedule(
 
         def sched(step):
             t = step % t0
-            return min_lr + 0.5 * (lr - min_lr) * (1 + math.cos(math.pi * t / t0))
+            return min_lr + 0.5 * (lr - min_lr) * (1 + jnp.cos(math.pi * t / t0))
 
         return sched
 
@@ -45,23 +49,23 @@ def make_lr_schedule(
         decay_steps = max(lr_decay_step_size * steps_per_epoch, 1)
 
         def sched(step):
-            return lr * (lr_decay_factor ** (step // decay_steps))
+            return lr * lr_decay_factor ** (step // decay_steps)
 
         return sched
 
     if name == "StepLRCustomized":
-        boundaries = [s * steps_per_epoch for s in custom_steps]
+        boundaries = jnp.asarray([s * steps_per_epoch for s in custom_steps])
 
         def sched(step):
-            k = sum(1 for b in boundaries if step >= b)
-            return lr * (lr_decay_factor ** k)
+            k = (step >= boundaries).sum()
+            return lr * lr_decay_factor ** k
 
         return sched
 
     if name in ("none", "None", "ReduceLROnPlateau"):
         # plateau is driven by PlateauController at epoch granularity
         def sched(step):
-            return lr
+            return jnp.asarray(lr)
 
         return sched
 
