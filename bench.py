@@ -1,0 +1,129 @@
+"""Benchmark: joint pretrain throughput (molecules/sec/chip) on the flagship
+workload — PCQM4Mv2-shaped synthetic molecules, batch 256, n_max 32,
+emb_dim 300, GIN-2D + SchNet-3D + contrastive + both SDE losses + Adam.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against a torch-CPU proxy of the same computation
+(the reference's PyG stack is not installed in this image; see
+benchmarks/torch_cpu_proxy.py) — the reference itself is a single-device CPU/
+GPU python loop, so torch-CPU is the reproducible stand-in.
+
+Extra sub-metrics (sampler steps/sec, baseline value) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("BENCH_BATCH", 256))
+N_MAX = int(os.environ.get("BENCH_NMAX", 32))
+EMB = int(os.environ.get("BENCH_EMB", 300))
+STEPS = int(os.environ.get("BENCH_STEPS", 20))
+TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", 3))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_jax() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from moleculesde_tpu.data.synthetic import synthetic_batch
+    from moleculesde_tpu.pretrain import (
+        PretrainConfig, create_pretrain_state, make_pretrain_step)
+
+    log(f"jax devices: {jax.devices()}")
+    cfg = PretrainConfig(
+        emb_dim=EMB, dropout_ratio=0.0,
+        cl_similarity_metric="EBM_node_dot_prod")
+    batch = synthetic_batch(num_graphs=BATCH, n_max=N_MAX, seed=0)
+    batch = jax.device_put(batch)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    models, state = create_pretrain_state(cfg, batch, key)
+    step = make_pretrain_step(models, cfg)
+    state, metrics = step(state, batch, key, jnp.asarray(1.0))
+    jax.block_until_ready(metrics["loss"])
+    log(f"init+compile: {time.time() - t0:.1f}s, first loss {float(metrics['loss']):.4f}")
+
+    t0 = time.time()
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub, jnp.asarray(1.0))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    mols_per_sec = BATCH * STEPS / dt
+    log(f"pretrain: {STEPS} steps in {dt:.2f}s -> {mols_per_sec:.1f} molecules/sec/chip")
+
+    # secondary: reverse-SDE PC sampler steps/sec (2D->3D, 64 clones)
+    from moleculesde_tpu.models import SDEModel2Dto3D
+    from moleculesde_tpu.sampling import sample_positions_pc
+
+    sde_model = models["SDE_2Dto3D_model"]
+    v23 = {"params": state.params["SDE_2Dto3D_model"],
+           "batch_stats": state.batch_stats["SDE_2Dto3D_model"]}
+    sample_batch = synthetic_batch(num_graphs=64, n_max=N_MAX, seed=1)
+    sample_batch = jax.device_put(sample_batch)
+    node_2d = jnp.zeros((sample_batch.num_nodes, EMB))
+    n_sampler_steps = 200
+
+    f = jax.jit(lambda v, r, k: sample_positions_pc(
+        sde_model, v, r, sample_batch, k, n_steps=n_sampler_steps))
+    pos = f(v23, node_2d, key)
+    jax.block_until_ready(pos)
+    t0 = time.time()
+    pos = f(v23, node_2d, jax.random.PRNGKey(7))
+    jax.block_until_ready(pos)
+    sampler_sps = n_sampler_steps / (time.time() - t0)
+    log(f"sampler: {sampler_sps:.1f} PC steps/sec (batch of 64 molecules)")
+    return {"mols_per_sec": mols_per_sec, "sampler_steps_per_sec": sampler_sps}
+
+
+def measure_baseline() -> float:
+    cached = os.environ.get("BENCH_BASELINE_CACHE", "")
+    cache_file = os.environ.get(
+        "BENCH_CACHE_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchmarks", "baseline_cpu.json"))
+    if cached != "refresh" and os.path.exists(cache_file):
+        with open(cache_file) as f:
+            d = json.load(f)
+        if d.get("batch") == BATCH and d.get("n_max") == N_MAX and d.get("emb") == EMB:
+            log(f"torch-CPU baseline (cached): {d['mols_per_sec']:.2f} molecules/sec")
+            return d["mols_per_sec"]
+    from benchmarks.torch_cpu_proxy import measure_torch_cpu
+
+    t0 = time.time()
+    mols_per_sec = measure_torch_cpu(BATCH, N_MAX, EMB, steps=TORCH_STEPS)
+    log(f"torch-CPU baseline: {mols_per_sec:.2f} molecules/sec "
+        f"(measured in {time.time() - t0:.1f}s)")
+    try:
+        with open(cache_file, "w") as f:
+            json.dump({"batch": BATCH, "n_max": N_MAX, "emb": EMB,
+                       "mols_per_sec": mols_per_sec}, f)
+    except OSError:
+        pass
+    return mols_per_sec
+
+
+def main():
+    baseline = measure_baseline()
+    res = measure_jax()
+    print(json.dumps({
+        "metric": "pretrain_molecules_per_sec_per_chip",
+        "value": round(res["mols_per_sec"], 2),
+        "unit": "molecules/sec",
+        "vs_baseline": round(res["mols_per_sec"] / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,11 +66,23 @@ class GraphLoader:
         for b in range(n_batches):
             idx = order[b * bs : (b + 1) * bs]
             chunk = [self.graphs[i] for i in idx]
-            batch = pad_graphs(
-                chunk, n_max=self.n_max, e_max=self.e_max,
-                ext_e_max=self.ext_e_max, num_graphs=bs,
-                num_tasks=self.num_tasks, with_forces=self.with_forces)
+            batch = self._collate(chunk, bs)
             yield batch, len(chunk)
+
+    def _collate(self, chunk, bs):
+        # native C++ fast path (native/collate.cpp), numpy fallback
+        from moleculesde_tpu.data.native_collate import native_pad_graphs
+
+        batch = native_pad_graphs(
+            chunk, n_max=self.n_max, e_max=self.e_max,
+            ext_e_max=self.ext_e_max, num_graphs=bs,
+            num_tasks=self.num_tasks, with_forces=self.with_forces)
+        if batch is not None:
+            return batch
+        return pad_graphs(
+            chunk, n_max=self.n_max, e_max=self.e_max,
+            ext_e_max=self.ext_e_max, num_graphs=bs,
+            num_tasks=self.num_tasks, with_forces=self.with_forces)
 
 
 def max_atoms(graphs: Sequence[Dict]) -> int:

@@ -167,3 +167,22 @@ def test_suggest_buckets():
     rng = np.random.default_rng(3)
     graphs = [random_molecule(rng, 20) for _ in range(3)]
     assert suggest_buckets(graphs) == 32
+
+
+def test_bfs_subgraph_mask():
+    from moleculesde_tpu.data.masking import apply_subgraph_mask, bfs_subgraph_mask
+
+    rng = np.random.default_rng(0)
+    # 10-node path graph
+    ei = np.array([[i for i in range(9)] + [i + 1 for i in range(9)],
+                   [i + 1 for i in range(9)] + [i for i in range(9)]])
+    kept, masked = bfs_subgraph_mask(10, ei, mask_ratio=0.3, rng=rng)
+    assert len(kept) == 7 and len(masked) == 3
+    assert set(kept) | set(masked) == set(range(10))
+    assert set(kept) & set(masked) == set()
+
+    g = random_molecule(rng, 8)
+    g2 = apply_subgraph_mask(g, 0.25, seed=1)
+    assert "masked_atom_indices" in g2
+    assert "masked_atom_indices" not in g
+    assert len(g2["masked_atom_indices"]) == 8 - int(8 * 0.75)
