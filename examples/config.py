@@ -170,6 +170,13 @@ def get_parser() -> argparse.ArgumentParser:
                         help="use N synthetic molecules instead of dataset files")
     parser.add_argument("--max_molecules", type=int, default=0,
                         help="cap dataset size (0 -> all)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="write a jax.profiler trace of the first epoch here")
+    parser.add_argument("--debug_nans", dest="debug_nans", action="store_true",
+                        help="enable jax_debug_nans (abort on first NaN)")
+    parser.set_defaults(debug_nans=False)
+    parser.add_argument("--resume_from", type=str, default="",
+                        help="full train-state checkpoint to resume from")
     return parser
 
 

@@ -102,7 +102,8 @@ def main(argv=None):
         return GraphLoader(
             [graphs[i] for i in idx], batch_size=args.batch_size, n_max=n_max,
             e_max=args.e_max_factor * n_max, shuffle=shuffle,
-            drop_last=shuffle, seed=args.seed, num_tasks=1)
+            drop_last=shuffle, seed=args.seed, num_tasks=1,
+            rotation_transform=shuffle and args.use_rotation_transform)
 
     train_loader = make_loader(train_idx, True)
     val_loader = make_loader(valid_idx, False)

@@ -69,6 +69,8 @@ def load_graphs(args):
 def main(argv=None):
     args = parse_args(argv)
     np.random.seed(args.seed)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     graphs = load_graphs(args)
     n_max = args.n_max or suggest_buckets(graphs)
@@ -126,8 +128,20 @@ def main(argv=None):
         step = make_pretrain_step(models, cfg)
         prep = lambda b: b
 
+    if args.resume_from:
+        from moleculesde_tpu.utils.checkpoints import load_train_state
+
+        state, extra = load_train_state(args.resume_from, state)
+        print(f"resumed from {args.resume_from} at step {int(state.step)} "
+              f"(extra: {extra})")
+
     logger = MetricsLogger(args.output_model_dir or None)
     optimal_loss = 1e10
+
+    profiling = False
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        profiling = True
 
     for epoch in range(1, args.epochs + 1):
         coeff_cl = (args.SDE_coeff_contrastive
@@ -163,6 +177,11 @@ def main(argv=None):
                   "SDE 2Dto3D Loss: {SDE_loss_2Dto3D:.5f}\t"
                   "SDE 3Dto2D Loss: {SDE_loss_3Dto2D:.5f}").format(**accum))
         print(f"Time: {time.time() - t0:.5f}\n")
+
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profiler trace written to {args.profile_dir}")
 
     if args.output_model_dir:
         save_pretrain_checkpoint(

@@ -36,8 +36,10 @@ class GraphLoader:
         seed: int = 0,
         num_tasks: Optional[int] = None,
         with_forces: bool = False,
+        rotation_transform: bool = False,
     ):
         self.graphs = list(graphs)
+        self.rotation_transform = rotation_transform
         self.batch_size = batch_size
         self.n_max = n_max
         self.e_max = e_max if e_max is not None else 4 * n_max
@@ -66,8 +68,23 @@ class GraphLoader:
         for b in range(n_batches):
             idx = order[b * bs : (b + 1) * bs]
             chunk = [self.graphs[i] for i in idx]
+            if self.rotation_transform:
+                chunk = [self._rotate(g) for g in chunk]
             batch = self._collate(chunk, bs)
             yield batch, len(chunk)
+
+    def _rotate(self, g: Dict) -> Dict:
+        """Random SO(3) rotation augmentation (the reference's
+        ``use_rotation_transform`` hook, dataset_QM9.py:138-139)."""
+        if "positions" not in g or g["positions"] is None:
+            return g
+        q, r = np.linalg.qr(self._rng.normal(size=(3, 3)))
+        q = q * np.sign(np.diag(r))
+        if np.linalg.det(q) < 0:
+            q[:, 0] = -q[:, 0]
+        out = dict(g)
+        out["positions"] = np.asarray(g["positions"], np.float32) @ q.T.astype(np.float32)
+        return out
 
     def _collate(self, chunk, bs):
         # native C++ fast path (native/collate.cpp), numpy fallback
@@ -83,6 +100,70 @@ class GraphLoader:
             chunk, n_max=self.n_max, e_max=self.e_max,
             ext_e_max=self.ext_e_max, num_graphs=bs,
             num_tasks=self.num_tasks, with_forces=self.with_forces)
+
+
+class BucketedGraphLoader:
+    """Size-bucketed batching: molecules are routed to the smallest padding
+    bucket that fits them, so small molecules don't pay the largest
+    molecule's padded FLOPs.  One XLA program compiles per bucket (static
+    shapes within a bucket); buckets are interleaved randomly each epoch.
+
+    Yields ``(batch, n_real)`` like :class:`GraphLoader`.
+    """
+
+    def __init__(
+        self,
+        graphs: Sequence[Dict],
+        batch_size: int,
+        buckets: Sequence[int] = (16, 32, 64),
+        e_max_factor: int = 4,
+        ext_quadratic: bool = True,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_tasks: Optional[int] = None,
+        with_forces: bool = False,
+    ):
+        self.buckets = sorted(buckets)
+        self.loaders = []
+        by_bucket: list = [[] for _ in self.buckets]
+        for g in graphs:
+            n = int(np.asarray(g["atom_feats"]).shape[0])
+            for i, b in enumerate(self.buckets):
+                if n <= b:
+                    by_bucket[i].append(g)
+                    break
+            else:
+                by_bucket[-1].append(g)  # clipped into the largest bucket
+        for b, gs in zip(self.buckets, by_bucket):
+            if not gs:
+                self.loaders.append(None)
+                continue
+            self.loaders.append(GraphLoader(
+                gs, batch_size=batch_size, n_max=b, e_max=e_max_factor * b,
+                ext_e_max=(b * b if ext_quadratic else e_max_factor * b),
+                shuffle=shuffle, drop_last=drop_last, seed=seed,
+                num_tasks=num_tasks, with_forces=with_forces))
+        self._rng = np.random.default_rng(seed)
+        self.shuffle = shuffle
+
+    def __len__(self) -> int:
+        return sum(len(l) for l in self.loaders if l is not None)
+
+    def __iter__(self):
+        # interleave bucket batches in random order so optimization sees a mix
+        schedule = []
+        iters = []
+        for i, l in enumerate(self.loaders):
+            if l is None:
+                iters.append(None)
+                continue
+            iters.append(iter(l))
+            schedule.extend([i] * len(l))
+        if self.shuffle:
+            self._rng.shuffle(schedule)
+        for i in schedule:
+            yield next(iters[i])
 
 
 def max_atoms(graphs: Sequence[Dict]) -> int:

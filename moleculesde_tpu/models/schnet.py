@@ -94,6 +94,12 @@ class SchNet(nn.Module):
     cutoff: float = 10.0
     node_class: int = NUM_ATOM_CLASSES
     readout: str = "mean"
+    # optional target post-processing (ref schnet.py:103-121); off by default,
+    # matching every reference entry point
+    mean: Optional[float] = None
+    std: Optional[float] = None
+    use_atomref: bool = False
+    scale: Optional[float] = None
 
     @nn.compact
     def __call__(
@@ -123,6 +129,14 @@ class SchNet(nn.Module):
         h = shifted_softplus(h)
         h = nn.Dense(self.hidden_channels, kernel_init=xavier_uniform, bias_init=zeros_init)(h)
 
+        if self.mean is not None and self.std is not None:
+            h = h * self.std + self.mean
+        if self.use_atomref:
+            atomref = nn.Embed(self.node_class, self.hidden_channels,
+                               embedding_init=zeros_init, name="atomref")
+            h = h + atomref(jnp.clip(z, 0, self.node_class - 1)).reshape(
+                num_graphs, n_max, self.hidden_channels)
+
         m = node_mask.reshape(num_graphs, n_max, 1).astype(h.dtype)
         h = h * m
         if self.readout in ("add", "sum"):
@@ -131,6 +145,8 @@ class SchNet(nn.Module):
             pooled = h.sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
         else:
             raise ValueError(f"unknown readout {self.readout}")
+        if self.scale is not None:
+            pooled = self.scale * pooled
         latent = h.reshape(num_graphs * n_max, self.hidden_channels)
         return pooled, latent
 

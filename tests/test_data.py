@@ -186,3 +186,24 @@ def test_bfs_subgraph_mask():
     assert "masked_atom_indices" in g2
     assert "masked_atom_indices" not in g
     assert len(g2["masked_atom_indices"]) == 8 - int(8 * 0.75)
+
+
+def test_bucketed_loader():
+    from moleculesde_tpu.data.loader import BucketedGraphLoader
+
+    rng = np.random.default_rng(4)
+    graphs = [random_molecule(rng, n) for n in
+              list(rng.integers(3, 8, 20)) + list(rng.integers(9, 16, 12))]
+    loader = BucketedGraphLoader(graphs, batch_size=4, buckets=(8, 16),
+                                 shuffle=True, drop_last=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 5 + 3
+    seen_shapes = {b.n_max for b, _ in batches}
+    assert seen_shapes == {8, 16}
+    total = 0
+    for b, n_real in batches:
+        assert b.atom_feats.shape[0] == 4 * b.n_max
+        per_graph = np.asarray(b.nodes_per_graph())
+        assert (per_graph[:n_real] <= b.n_max).all()
+        total += n_real
+    assert total == 32
