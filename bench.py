@@ -24,7 +24,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", 256))
 N_MAX = int(os.environ.get("BENCH_NMAX", 32))
 EMB = int(os.environ.get("BENCH_EMB", 300))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
-TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", 3))
+# this host has a single CPU core: keep the (cache-miss-only) torch baseline
+# measurement short
+TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", 1))
 
 
 def log(msg):

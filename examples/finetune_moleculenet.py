@@ -153,6 +153,17 @@ def main(argv=None):
                     args.output_model_dir,
                     {"model": jax.device_get(state.params)},
                     {"model": jax.device_get(state.batch_stats)}, best=True)
+                # prediction dump at the best epoch (the reference's
+                # evaluation_best.pth, finetune_MoleculeNet.py:324-339)
+                ys, ss = [], []
+                for batch, n_real in test_loader:
+                    ss.append(np.asarray(eval_step(state, batch))[:n_real])
+                    ys.append(np.asarray(batch.y)[:n_real])
+                if ys:
+                    np.savez(os.path.join(args.output_model_dir,
+                                          "evaluation_best.npz"),
+                             test_true=np.concatenate(ys),
+                             test_scores=np.concatenate(ss))
 
     print(f"best train: {0:.6f}\tval: {best_val:.6f}\ttest: {best_test:.6f}")
     if args.output_model_dir:

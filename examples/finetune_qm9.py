@@ -140,15 +140,22 @@ def main(argv=None):
         weight_decay=args.decay, pretrained_encoder_params=pretrained)
     train_step, eval_step = make_regression_steps(model, tx, args.loss)
 
-    def evaluate(loader):
+    def evaluate(loader, collect=False):
         err, count = 0.0, 0
+        preds, actuals = [], []
         for batch, n_real in loader:
             pred = np.asarray(eval_step(state, batch))[:n_real]
             pred = pred * y_std + y_mean
             y = np.asarray(batch.y)[:n_real, 0]
             err += np.abs(pred - y).sum()
             count += n_real
-        return err / max(count, 1)
+            if collect:
+                preds.append(pred)
+                actuals.append(y)
+        mae = err / max(count, 1)
+        if collect:
+            return mae, np.concatenate(preds), np.concatenate(actuals)
+        return mae
 
     logger = MetricsLogger(args.output_model_dir or None)
     best_val, best_test = float("inf"), float("inf")
@@ -176,6 +183,11 @@ def main(argv=None):
                 save_pretrain_checkpoint(
                     args.output_model_dir,
                     {"model": jax.device_get(state.params)}, best=True)
+                # prediction dump at the best epoch (the reference's
+                # evaluation_best.pth npz, finetune_QM9.py:111-130)
+                _, te_pred, te_true = evaluate(test_loader, collect=True)
+                np.savez(os.path.join(args.output_model_dir, "evaluation_best.npz"),
+                         test_pred=te_pred, test_true=te_true)
 
     print(f"best val: {best_val:.6f}\ttest: {best_test:.6f}")
     if args.output_model_dir:
