@@ -207,3 +207,20 @@ def test_bucketed_loader():
         assert (per_graph[:n_real] <= b.n_max).all()
         total += n_real
     assert total == 32
+
+
+def test_nx_roundtrip():
+    pytest.importorskip("networkx")
+    from moleculesde_tpu.data.nx_convert import graph_to_nx, nx_to_graph
+
+    rng = np.random.default_rng(5)
+    g = random_molecule(rng, 6)
+    nxg = graph_to_nx(g)
+    assert nxg.number_of_nodes() == 6
+    back = nx_to_graph(nxg)
+    np.testing.assert_array_equal(back["atom_feats"], g["atom_feats"])
+    np.testing.assert_allclose(back["positions"], g["positions"], atol=1e-6)
+    # undirected edge sets match
+    orig = {tuple(sorted(p)) for p in zip(g["edge_index"][0], g["edge_index"][1])}
+    rt = {tuple(sorted(p)) for p in zip(back["edge_index"][0], back["edge_index"][1])}
+    assert orig == rt
