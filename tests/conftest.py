@@ -6,21 +6,23 @@ CPU devices, so the full multi-chip code compiles and runs without TPU
 hardware (see SURVEY.md section 4).
 
 Environment detail: this image's ``sitecustomize`` registers a remote-TPU
-(axon) PJRT plugin in every Python process and pins ``JAX_PLATFORMS=axon``,
-which both claims the TPU (slow) and would run unit tests on one remote chip.
-We re-exec pytest once with the plugin disabled so tests get a fast local
-8-device CPU backend.
+(axon) PJRT plugin in every Python process and pins ``JAX_PLATFORMS=axon``.
+We switch the already-initialized process to a fresh 8-device CPU backend
+in place (clearing the backend cache) so unit tests are fast, deterministic,
+and don't occupy the TPU.
 """
 
 import os
-import sys
 
-if os.environ.get("MOLSDE_TEST_REEXEC") != "1":
-    env = dict(os.environ)
-    env["MOLSDE_TEST_REEXEC"] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # skip remote-TPU plugin registration
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax._src.xla_bridge._clear_backends()
+except Exception:  # pragma: no cover - jax-internal API drift
+    pass
+assert jax.devices()[0].platform == "cpu", "CPU test backend unavailable"
