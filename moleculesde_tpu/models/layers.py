@@ -68,6 +68,7 @@ class MaskedBatchNorm(nn.Module):
         use_running_average: bool = False,
     ) -> jnp.ndarray:
         features = x.shape[-1]
+        x = x.astype(jnp.float32)  # statistics always in f32 (bf16-safe)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((features,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((features,)))
         scale = self.param("scale", nn.initializers.ones, (features,))

@@ -232,6 +232,9 @@ class SDEModel2Dto3D(nn.Module):
     short_cut: bool = False
     concat_hidden: bool = False
     use_extend_graph: bool = True
+    # compute the bandwidth-dominant [B, N, N, emb] pair-feature block in
+    # bfloat16 (HBM-bound on TPU; frames, losses and the score head stay f32)
+    bf16_pairs: bool = False
 
     @property
     def sde_pos(self) -> SDE:
@@ -272,16 +275,19 @@ class SDEModel2Dto3D(nn.Module):
         h2d = node_2d_repr.reshape(b, n, -1)
         pos3 = pos.reshape(b, n, 3)
 
+        pair_dtype = jnp.bfloat16 if self.bf16_pairs else jnp.float32
+
         # --- 2D edge embedding -------------------------------------------------
         if self.variant in (1, 2):
             src_p, dst_p = PairDense(self.emb_dim, name="edge_2D_emb_0")(h2d)
-            x = src_p[:, :, None, :] + dst_p[:, None, :, :]
+            x = (src_p.astype(pair_dtype)[:, :, None, :]
+                 + dst_p.astype(pair_dtype)[:, None, :, :])
             x = MaskedBatchNorm(name="edge_2D_emb_bn")(
                 x.reshape(b * n * n, -1), pair_mask.reshape(-1),
-                use_running_average).reshape(b, n, n, -1)
+                use_running_average).reshape(b, n, n, -1).astype(pair_dtype)
             x = nn.relu(x)
-            edge_attr_2d = nn.Dense(h, kernel_init=xavier_uniform,
-                                    name="edge_2D_emb_1")(x)
+            edge_attr_2d = nn.Dense(h, kernel_init=xavier_uniform, dtype=pair_dtype,
+                                    name="edge_2D_emb_1")(x).astype(jnp.float32)
         else:
             if self.variant == 3:
                 src_p, dst_p = PairDense(h, name="edge_2D_emb")(h2d)

@@ -73,6 +73,8 @@ class PretrainConfig:
     anneal_power: float = 0.0
     use_extend_graph: bool = True
     noise_on_one_hot: bool = True
+    # production default: bf16 for the 2D->3D pair-feature block (HBM-bound)
+    bf16_pairs: bool = True
     # contrastive (config.py:98-103)
     cl_similarity_metric: str = "EBM_node_dot_prod"
     T: float = 0.1
@@ -118,7 +120,7 @@ def build_models(cfg: PretrainConfig) -> Dict[str, Any]:
         emb_dim=cfg.emb_dim, hidden_dim=cfg.hidden_dim_2dto3d,
         variant=cfg.sde_2dto3d_variant, sde_type=t23,
         beta_min=bmin23, beta_max=bmax23, num_diffusion_timesteps=n23,
-        use_extend_graph=cfg.use_extend_graph)
+        use_extend_graph=cfg.use_extend_graph, bf16_pairs=cfg.bf16_pairs)
 
     t32, bmin32, bmax32, n32 = SDE_PRESETS_3DTO2D[cfg.sde_type_3dto2d]
     # dense-net hyperparameters hard-coded by the reference driver
