@@ -160,6 +160,9 @@ def get_parser() -> argparse.ArgumentParser:
     # ---- TPU-native additions ------------------------------------------------
     parser.add_argument("--n_max", type=int, default=32,
                         help="atom-count padding bucket (static shapes)")
+    parser.add_argument("--buckets", type=int, nargs="+", default=[],
+                        help="size-bucketed batching, e.g. --buckets 16 32 64 "
+                             "(one XLA program per bucket; fewer padded FLOPs)")
     parser.add_argument("--e_max_factor", type=int, default=4,
                         help="bond-edge budget = factor * n_max")
     parser.add_argument("--ext_e_max", type=int, default=0,

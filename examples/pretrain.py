@@ -75,10 +75,18 @@ def main(argv=None):
     graphs = load_graphs(args)
     n_max = args.n_max or suggest_buckets(graphs)
     ext_e_max = args.ext_e_max or n_max * n_max
-    loader = GraphLoader(
-        graphs, batch_size=args.batch_size, n_max=n_max,
-        e_max=args.e_max_factor * n_max, ext_e_max=ext_e_max,
-        shuffle=True, drop_last=True, seed=args.seed)
+    if args.buckets:
+        from moleculesde_tpu.data.loader import BucketedGraphLoader
+
+        loader = BucketedGraphLoader(
+            graphs, batch_size=args.batch_size, buckets=args.buckets,
+            e_max_factor=args.e_max_factor, shuffle=True, drop_last=True,
+            seed=args.seed)
+    else:
+        loader = GraphLoader(
+            graphs, batch_size=args.batch_size, n_max=n_max,
+            e_max=args.e_max_factor * n_max, ext_e_max=ext_e_max,
+            shuffle=True, drop_last=True, seed=args.seed)
 
     cfg = PretrainConfig(
         emb_dim=args.emb_dim, num_layer=args.num_layer, jk=args.JK,
@@ -126,7 +134,7 @@ def main(argv=None):
         prep = lambda b: shard_batch(b, mesh)
     else:
         step = make_pretrain_step(models, cfg)
-        prep = lambda b: b
+        prep = jax.device_put
 
     if args.resume_from:
         from moleculesde_tpu.utils.checkpoints import load_train_state
@@ -147,18 +155,21 @@ def main(argv=None):
         coeff_cl = (args.SDE_coeff_contrastive
                     if epoch > args.SDE_coeff_contrastive_skip_epochs else 0.0)
         t0 = time.time()
-        accum = {"CL_loss": 0.0, "CL_acc": 0.0,
-                 "SDE_loss_2Dto3D": 0.0, "SDE_loss_3Dto2D": 0.0}
+        keys = ["CL_loss", "CL_acc", "SDE_loss_2Dto3D", "SDE_loss_3Dto2D"]
+        accum_dev = None  # device-side accumulation: one D2H sync per epoch
         n_batches = 0
         print(f"epoch: {epoch}")
-        for batch, _ in loader:
+        from moleculesde_tpu.data.loader import device_prefetch
+
+        for batch, _ in device_prefetch(iter(loader), size=2, put_fn=prep):
             key, sub = jax.random.split(key)
-            state, metrics = step(state, prep(batch), sub, jnp.asarray(coeff_cl))
+            state, metrics = step(state, batch, sub, jnp.asarray(coeff_cl))
             n_batches += 1
-            for k in accum:
-                accum[k] += float(metrics[k])
-        for k in accum:
-            accum[k] /= max(n_batches, 1)
+            vals = [metrics[k] for k in keys]
+            accum_dev = vals if accum_dev is None else [
+                a + v for a, v in zip(accum_dev, vals)]
+        accum = {k: float(v) / max(n_batches, 1)
+                 for k, v in zip(keys, jax.device_get(accum_dev))}
 
         temp_loss = (
             coeff_cl * accum["CL_loss"]

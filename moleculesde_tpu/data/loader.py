@@ -166,6 +166,29 @@ class BucketedGraphLoader:
             yield next(iters[i])
 
 
+def device_prefetch(iterator, size: int = 2, put_fn=None):
+    """Overlap host->device batch transfer with device compute.
+
+    ``jax.device_put`` (or a sharding placement ``put_fn``) is asynchronous:
+    enqueueing the next batch's transfer while the current step runs hides
+    H2D latency (significant when the TPU sits behind a network tunnel).
+    Yields the same ``(batch, n_real)`` pairs.
+    """
+    import collections
+
+    import jax
+
+    if put_fn is None:
+        put_fn = jax.device_put
+    queue = collections.deque()
+    for batch, n_real in iterator:
+        queue.append((put_fn(batch), n_real))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def max_atoms(graphs: Sequence[Dict]) -> int:
     return max(int(np.asarray(g["atom_feats"]).shape[0]) for g in graphs)
 
