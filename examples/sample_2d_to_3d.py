@@ -106,14 +106,25 @@ def main(argv=None):
         pos_gen = np.asarray(generate(batch, sub))
         n_atoms = g["atom_feats"].shape[0]
         pos_gen = pos_gen.reshape(args.num_repeat_SDE_inference, n_max, 3)[:, :n_atoms]
-        results.append({
+        entry = {
             "atom_feats": g["atom_feats"],
             "positions_true": g.get("positions"),
             "pos_gen": pos_gen,
             "num_pos_gen": args.num_repeat_SDE_inference,
-        })
-        print(f"molecule {i}: {n_atoms} atoms, "
-              f"{args.num_repeat_SDE_inference} conformers in {time.time()-t0:.2f}s")
+        }
+        msg = (f"molecule {i}: {n_atoms} atoms, "
+               f"{args.num_repeat_SDE_inference} conformers in {time.time()-t0:.2f}s")
+        if g.get("positions") is not None:
+            from moleculesde_tpu.utils.rmsd import coverage_matching
+
+            cov, mat = coverage_matching(
+                pos_gen, np.asarray(g["positions"])[None],
+                threshold=args.threshold or 0.5)
+            entry["cov"] = cov
+            entry["mat"] = mat
+            msg += f"  COV={cov:.3f} MAT={mat:.3f}"
+        results.append(entry)
+        print(msg)
 
     if args.output_model_dir:
         os.makedirs(args.output_model_dir, exist_ok=True)
