@@ -148,11 +148,14 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
         total, nb = 0.0, 0
-        for batch, n_real in train_loader:
+        from moleculesde_tpu.data.loader import device_prefetch
+
+        for batch, n_real in device_prefetch(iter(train_loader), size=2):
             gm = jnp.arange(batch.num_graphs) < n_real
             y_e = (batch.y[:, 0] - e_shift) / e_scale
             y_f = batch.forces / e_scale
-            state, metrics = train_step(state, batch, y_e, y_f, gm)
+            state, metrics = train_step(state, batch, y_e, y_f, gm,
+                                        jnp.asarray(float(schedule(int(state.step)))))
             total += float(metrics["loss"])
             nb += 1
         val_e, val_f = evaluate(val_loader)

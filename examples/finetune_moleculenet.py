@@ -125,10 +125,13 @@ def main(argv=None):
         t0 = time.time()
         total = 0.0
         n = 0
-        for batch, n_real in train_loader:
+        from moleculesde_tpu.data.loader import device_prefetch
+
+        for batch, n_real in device_prefetch(iter(train_loader), size=2):
             key, sub = jax.random.split(key)
             gm = jnp.arange(batch.num_graphs) < n_real
-            state, loss = train_step(state, batch, sub, gm)
+            state, loss = train_step(state, batch, sub, gm,
+                                     jnp.asarray(float(schedule(int(state.step)))))
             total += float(loss)
             n += 1
         train_loss = total / max(n, 1)

@@ -162,10 +162,13 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
         total, nb = 0.0, 0
-        for batch, n_real in train_loader:
+        from moleculesde_tpu.data.loader import device_prefetch
+
+        for batch, n_real in device_prefetch(iter(train_loader), size=2):
             gm = jnp.arange(batch.num_graphs) < n_real
             y_norm = (batch.y[:, 0] - y_mean) / y_std
-            state, loss = train_step(state, batch, y_norm, gm)
+            lr_now = plateau.lr if plateau is not None else float(schedule(int(state.step)))
+            state, loss = train_step(state, batch, y_norm, gm, jnp.asarray(lr_now))
             total += float(loss)
             nb += 1
         val_mae = evaluate(val_loader)

@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from moleculesde_tpu.core.batch import GraphBatch
-from moleculesde_tpu.finetune.common import FinetuneState, adam_with_schedule, bce_with_logits
+from moleculesde_tpu.finetune.common import (
+    FinetuneState,
+    adam_with_schedule,
+    apply_updates_with_lr,
+    bce_with_logits,
+)
 from moleculesde_tpu.models import GNNGraphPred
 
 
@@ -63,11 +68,11 @@ def make_classification_steps(
         return loss, (mut["batch_stats"],)
 
     @jax.jit
-    def train_step(state: FinetuneState, batch: GraphBatch, key, graph_mask):
+    def train_step(state: FinetuneState, batch: GraphBatch, key, graph_mask, lr):
         (loss, (new_bs,)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, key, graph_mask)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_params = apply_updates_with_lr(state.params, updates, lr)
         return state.replace(
             params=new_params, batch_stats=new_bs, opt_state=new_opt,
             step=state.step + 1), loss

@@ -22,13 +22,30 @@ def adam_with_schedule(
     schedule: Optional[Callable[[int], float]] = None,
     weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
-    """torch-style Adam (L2 folded into the gradient) with an lr schedule."""
-    lr_fn = schedule if schedule is not None else (lambda _: lr)
-    return optax.chain(
+    """torch-style Adam (L2 folded into the gradient) producing *unscaled*
+    ascent directions; the learning rate is applied inside the train step so
+    host-driven schedules (ReduceLROnPlateau) can change it without retracing.
+    The transformation carries ``(lr, schedule)`` via attributes consumed by
+    :func:`apply_lr`."""
+    tx = optax.chain(
         optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
         optax.scale_by_adam(),
-        optax.scale_by_schedule(lambda step: -lr_fn(step)),
     )
+    return tx
+
+
+def resolve_lr(schedule, step, lr_override=None, default_lr: float = 1e-4):
+    """Traced per-step learning rate: explicit override (plateau path) wins,
+    else the jnp schedule, else the constant default."""
+    if lr_override is not None:
+        return lr_override
+    if schedule is not None:
+        return schedule(step)
+    return jnp.asarray(default_lr)
+
+
+def apply_updates_with_lr(params, updates, lr):
+    return jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
 
 
 def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from moleculesde_tpu.core.batch import GraphBatch
-from moleculesde_tpu.finetune.common import FinetuneState, adam_with_schedule
+from moleculesde_tpu.finetune.common import (
+    FinetuneState,
+    adam_with_schedule,
+    apply_updates_with_lr,
+)
 from moleculesde_tpu.finetune.regression import RegressionModel
 
 
@@ -78,11 +82,11 @@ def make_md17_steps(
         return energy_coeff * e_loss + force_coeff * f_loss, (e_loss, f_loss)
 
     @jax.jit
-    def train_step(state: FinetuneState, batch: GraphBatch, y_e, y_f, graph_mask):
+    def train_step(state: FinetuneState, batch: GraphBatch, y_e, y_f, graph_mask, lr):
         (loss, (e_loss, f_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, y_e, y_f, graph_mask)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_params = apply_updates_with_lr(state.params, updates, lr)
         return state.replace(params=new_params, opt_state=new_opt,
                              step=state.step + 1), {
             "loss": loss, "energy_mae": e_loss, "force_mae": f_loss}

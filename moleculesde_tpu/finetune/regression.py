@@ -16,7 +16,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from moleculesde_tpu.core.batch import GraphBatch
-from moleculesde_tpu.finetune.common import FinetuneState, adam_with_schedule
+from moleculesde_tpu.finetune.common import (
+    FinetuneState,
+    adam_with_schedule,
+    apply_updates_with_lr,
+)
 from moleculesde_tpu.models.layers import xavier_uniform, zeros_init
 
 
@@ -79,11 +83,11 @@ def make_regression_steps(
         return (per * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     @jax.jit
-    def train_step(state: FinetuneState, batch: GraphBatch, y_norm, graph_mask):
+    def train_step(state: FinetuneState, batch: GraphBatch, y_norm, graph_mask, lr):
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, batch, y_norm, graph_mask)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_params = apply_updates_with_lr(state.params, updates, lr)
         return state.replace(params=new_params, opt_state=new_opt,
                              step=state.step + 1), loss
 

@@ -31,7 +31,7 @@ def test_classification_descends():
     gm = jnp.ones((8,), dtype=bool)
     losses = []
     for _ in range(5):
-        state, loss = train_step(state, batch, key, gm)
+        state, loss = train_step(state, batch, key, gm, jnp.asarray(1e-2))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     pred = eval_step(state, batch)
@@ -50,7 +50,7 @@ def test_regression_descends():
     gm = jnp.ones((8,), dtype=bool)
     losses = []
     for _ in range(5):
-        state, loss = train_step(state, batch, y, gm)
+        state, loss = train_step(state, batch, y, gm, jnp.asarray(1e-2))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert eval_step(state, batch).shape == (8,)
@@ -70,7 +70,7 @@ def test_md17_energy_forces_descend():
     gm = jnp.ones((4,), dtype=bool)
     metrics_hist = []
     for _ in range(5):
-        state, metrics = train_step(state, batch, y_e, y_f, gm)
+        state, metrics = train_step(state, batch, y_e, y_f, gm, jnp.asarray(1e-2))
         assert np.isfinite(float(metrics["loss"]))
         metrics_hist.append(float(metrics["loss"]))
     assert metrics_hist[-1] < metrics_hist[0]
