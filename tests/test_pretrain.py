@@ -108,3 +108,26 @@ def test_pretrain_painn_variant():
     step = make_pretrain_step(models, cfg)
     state, metrics = step(state, batch, key, jnp.asarray(1.0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_per_module_lr_groups(small_cfg):
+    """gnn_2d_lr_scale=0 freezes the 2D components while 3D still updates
+    (ref pretrain_MoleculeSDE.py:331-337 param groups)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_cfg, gnn_2d_lr_scale=0.0, lr=1e-2)
+    batch = synthetic_batch(num_graphs=4, n_max=8, seed=5)
+    key = jax.random.PRNGKey(0)
+    models, state = create_pretrain_state(cfg, batch, key)
+    before = jax.tree_util.tree_map(jnp.copy, state.params)
+    step = make_pretrain_step(models, cfg)
+    state, _ = step(state, batch, key, jnp.asarray(1.0))
+
+    def total_change(a, b):
+        return sum(float(jnp.abs(x - y).sum()) for x, y in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+    assert total_change(before["model_2D"], state.params["model_2D"]) == 0.0
+    assert total_change(before["SDE_2Dto3D_model"], state.params["SDE_2Dto3D_model"]) == 0.0
+    assert total_change(before["model_3D"], state.params["model_3D"]) > 0.0
+    assert total_change(before["SDE_3Dto2D_model"], state.params["SDE_3Dto2D_model"]) > 0.0
