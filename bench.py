@@ -56,10 +56,10 @@ def measure_jax() -> dict:
     jax.block_until_ready(metrics["loss"])
     log(f"init+compile: {time.time() - t0:.1f}s, first loss {float(metrics['loss']):.4f}")
 
+    coeff = jnp.asarray(1.0)
     t0 = time.time()
     for i in range(STEPS):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub, jnp.asarray(1.0))
+        state, metrics = step(state, batch, key, coeff)
     jax.block_until_ready(metrics["loss"])
     dt = time.time() - t0
     mols_per_sec = BATCH * STEPS / dt

@@ -128,9 +128,8 @@ def main(argv=None):
         from moleculesde_tpu.data.loader import device_prefetch
 
         for batch, n_real in device_prefetch(iter(train_loader), size=2):
-            key, sub = jax.random.split(key)
             gm = jnp.arange(batch.num_graphs) < n_real
-            state, loss = train_step(state, batch, sub, gm,
+            state, loss = train_step(state, batch, key, gm,
                                      jnp.asarray(float(schedule(int(state.step)))))
             total += float(loss)
             n += 1

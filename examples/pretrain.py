@@ -161,9 +161,10 @@ def main(argv=None):
         print(f"epoch: {epoch}")
         from moleculesde_tpu.data.loader import device_prefetch
 
+        coeff_dev = jnp.asarray(coeff_cl)
         for batch, _ in device_prefetch(iter(loader), size=2, put_fn=prep):
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, batch, sub, jnp.asarray(coeff_cl))
+            # randomness is folded from state.step inside the jitted step
+            state, metrics = step(state, batch, key, coeff_dev)
             n_batches += 1
             vals = [metrics[k] for k in keys]
             accum_dev = vals if accum_dev is None else [

@@ -69,6 +69,7 @@ def make_classification_steps(
 
     @jax.jit
     def train_step(state: FinetuneState, batch: GraphBatch, key, graph_mask, lr):
+        key = jax.random.fold_in(key, state.step)  # one device program per step
         (loss, (new_bs,)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, key, graph_mask)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -95,6 +95,11 @@ def make_pretrain_step(
 
     def step_fn(state: PretrainState, batch: GraphBatch, key: jax.Array,
                 coeff_contrastive: jnp.ndarray):
+        # derive this step's randomness inside the program: callers pass the
+        # SAME base key every step, so the training loop dispatches exactly
+        # one device program per step (a separate host-side random.split is a
+        # tiny extra program whose dispatch latency dominates on remote TPUs)
+        key = jax.random.fold_in(key, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, batch, key, coeff_contrastive)
