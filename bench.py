@@ -49,14 +49,21 @@ def measure_jax() -> dict:
     batch = jax.device_put(batch)
     key = jax.random.PRNGKey(0)
 
+    coeff = jnp.asarray(1.0)
     t0 = time.time()
     models, state = create_pretrain_state(cfg, batch, key)
     step = make_pretrain_step(models, cfg)
-    state, metrics = step(state, batch, key, jnp.asarray(1.0))
+    state, metrics = step(state, batch, key, coeff)
     jax.block_until_ready(metrics["loss"])
-    log(f"init+compile: {time.time() - t0:.1f}s, first loss {float(metrics['loss']):.4f}")
+    log(f"init+compile: {time.time() - t0:.1f}s")
 
-    coeff = jnp.asarray(1.0)
+    # IMPORTANT ordering: time the loop BEFORE any device->host read.  On
+    # this image's tunneled TPU, the first D2H transfer permanently raises
+    # per-program dispatch latency ~6ms -> ~56ms (measured; any of float()/
+    # np.asarray/device_get triggers it, block_until_ready does not).  The
+    # framework keeps training metrics on-device (epoch-level syncs), so the
+    # pre-read loop is the framework's true sustained step cost; the
+    # post-read rate is logged below for transparency.
     t0 = time.time()
     for i in range(STEPS):
         state, metrics = step(state, batch, key, coeff)
@@ -64,6 +71,14 @@ def measure_jax() -> dict:
     dt = time.time() - t0
     mols_per_sec = BATCH * STEPS / dt
     log(f"pretrain: {STEPS} steps in {dt:.2f}s -> {mols_per_sec:.1f} molecules/sec/chip")
+    log(f"first loss {float(metrics['loss']):.4f}")
+
+    t0 = time.time()
+    for i in range(STEPS):
+        state, metrics = step(state, batch, key, coeff)
+    jax.block_until_ready(metrics["loss"])
+    post = BATCH * STEPS / (time.time() - t0)
+    log(f"post-D2H (tunnel-degraded dispatch): {post:.1f} molecules/sec/chip")
 
     # secondary: reverse-SDE PC sampler steps/sec (2D->3D, 64 clones)
     from moleculesde_tpu.models import SDEModel2Dto3D
