@@ -169,25 +169,33 @@ def main(argv=None):
             vals = [metrics[k] for k in keys]
             accum_dev = vals if accum_dev is None else [
                 a + v for a, v in zip(accum_dev, vals)]
-        accum = {k: float(v) / max(n_batches, 1)
-                 for k, v in zip(keys, jax.device_get(accum_dev))}
 
-        temp_loss = (
-            coeff_cl * accum["CL_loss"]
-            + args.SDE_coeff_generative_2Dto3D * accum["SDE_loss_2Dto3D"]
-            + args.SDE_coeff_generative_3Dto2D * accum["SDE_loss_3Dto2D"])
-        if temp_loss < optimal_loss and args.output_model_dir:
-            optimal_loss = temp_loss
-            print(f"save model with loss: {optimal_loss:.5f}")
-            save_pretrain_checkpoint(
-                args.output_model_dir, jax.device_get(state.params),
-                jax.device_get(state.batch_stats), best=True)
+        # Sync metrics to host only every print_every_epoch epochs: on
+        # tunneled TPUs the first device->host read permanently degrades
+        # per-program dispatch latency (see CLAUDE.md), so sparse syncs keep
+        # the training loop single-program-per-step.
+        if epoch % max(args.print_every_epoch, 1) == 0 or epoch == args.epochs:
+            accum = {k: float(v) / max(n_batches, 1)
+                     for k, v in zip(keys, jax.device_get(accum_dev))}
 
-        logger.log(
-            epoch, accum,
-            echo=("CL Loss: {CL_loss:.5f}\tCL Acc: {CL_acc:.5f}\t\t"
-                  "SDE 2Dto3D Loss: {SDE_loss_2Dto3D:.5f}\t"
-                  "SDE 3Dto2D Loss: {SDE_loss_3Dto2D:.5f}").format(**accum))
+            temp_loss = (
+                coeff_cl * accum["CL_loss"]
+                + args.SDE_coeff_generative_2Dto3D * accum["SDE_loss_2Dto3D"]
+                + args.SDE_coeff_generative_3Dto2D * accum["SDE_loss_3Dto2D"])
+            if temp_loss < optimal_loss and args.output_model_dir:
+                optimal_loss = temp_loss
+                print(f"save model with loss: {optimal_loss:.5f}")
+                save_pretrain_checkpoint(
+                    args.output_model_dir, jax.device_get(state.params),
+                    jax.device_get(state.batch_stats), best=True)
+
+            logger.log(
+                epoch, accum,
+                echo=("CL Loss: {CL_loss:.5f}\tCL Acc: {CL_acc:.5f}\t\t"
+                      "SDE 2Dto3D Loss: {SDE_loss_2Dto3D:.5f}\t"
+                      "SDE 3Dto2D Loss: {SDE_loss_3Dto2D:.5f}").format(**accum))
+        else:
+            jax.block_until_ready(accum_dev[0])  # pace epochs without D2H
         print(f"Time: {time.time() - t0:.5f}\n")
 
         if profiling:
