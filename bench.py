@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 N_MAX = int(os.environ.get("BENCH_NMAX", 32))
 EMB = int(os.environ.get("BENCH_EMB", 300))
-STEPS = int(os.environ.get("BENCH_STEPS", 20))
+STEPS = int(os.environ.get("BENCH_STEPS", 100))
 # this host has a single CPU core: keep the (cache-miss-only) torch baseline
 # measurement short
 TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", 1))
@@ -71,14 +71,6 @@ def measure_jax() -> dict:
     dt = time.time() - t0
     mols_per_sec = BATCH * STEPS / dt
     log(f"pretrain: {STEPS} steps in {dt:.2f}s -> {mols_per_sec:.1f} molecules/sec/chip")
-    log(f"first loss {float(metrics['loss']):.4f}")
-
-    t0 = time.time()
-    for i in range(STEPS):
-        state, metrics = step(state, batch, key, coeff)
-    jax.block_until_ready(metrics["loss"])
-    post = BATCH * STEPS / (time.time() - t0)
-    log(f"post-D2H (tunnel-degraded dispatch): {post:.1f} molecules/sec/chip")
 
     # secondary: reverse-SDE PC sampler steps/sec (2D->3D, 64 clones)
     from moleculesde_tpu.models import SDEModel2Dto3D
@@ -101,6 +93,16 @@ def measure_jax() -> dict:
     jax.block_until_ready(pos)
     sampler_sps = n_sampler_steps / (time.time() - t0)
     log(f"sampler: {sampler_sps:.1f} PC steps/sec (batch of 64 molecules)")
+
+    # ---- everything below performs D2H reads (degrades dispatch on the
+    # tunneled TPU; see module docstring) -------------------------------
+    log(f"first loss {float(metrics['loss']):.4f}")
+    t0 = time.time()
+    for i in range(STEPS):
+        state, metrics = step(state, batch, key, coeff)
+    jax.block_until_ready(metrics["loss"])
+    post = BATCH * STEPS / (time.time() - t0)
+    log(f"post-D2H (tunnel-degraded dispatch): {post:.1f} molecules/sec/chip")
     return {"mols_per_sec": mols_per_sec, "sampler_steps_per_sec": sampler_sps}
 
 

@@ -89,11 +89,11 @@ def main():
 
     step = make_pretrain_step(models, cfg)
     state, m = step(state, batch, key, jnp.asarray(1.0))
-    jax.block_until_ready(m["loss"])
+    jax.block_until_ready(m["loss"])  # NOTE: no D2H reads anywhere (CLAUDE.md)
+    coeff = jnp.asarray(1.0)
     t0 = time.time()
     for _ in range(REPS):
-        key, sub = jax.random.split(key)
-        state, m = step(state, batch, sub, jnp.asarray(1.0))
+        state, m = step(state, batch, key, coeff)
     jax.block_until_ready(m["loss"])
     print(f"{'FULL train step (fwd+bwd+adam)':35s} {(time.time()-t0)/REPS*1000:8.2f} ms")
 
