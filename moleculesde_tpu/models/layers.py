@@ -99,3 +99,73 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return nn.LayerNorm()(x)
+
+
+class PairMaskedBatchNorm(nn.Module):
+    """Masked BatchNorm over an *implicit* pair tensor, returned in folded form.
+
+    For ``x[b, s, d, :] = src[b, s, :] + dst[b, d, :]`` this computes the same
+    masked batch statistics as ``MaskedBatchNorm`` on the materialized
+    ``[B*N*N, F]`` pair matrix (reference BatchNorm1d over pair features,
+    SDE_model_2D_to_3D.py:344-352) — but analytically from degree-weighted
+    node sums (ops/pair_block.py::pair_mean_var), never building the pair
+    tensor.  The affine normalization folds into the node halves:
+
+        BN(x)[b, s, d] = a[b, s] + c[b, d]
+        a = src * g,   c = dst * g + (beta - mean * g),   g = gamma / sigma
+
+    Variable names/shapes match ``MaskedBatchNorm`` exactly (``scale``/``bias``
+    params, ``batch_stats.{mean,var}``) so checkpoints are interchangeable.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,
+        dst: jnp.ndarray,
+        pair_mask: jnp.ndarray,
+        use_running_average: bool = False,
+    ):
+        from moleculesde_tpu.ops.pair_block import pair_mean_var
+
+        features = src.shape[-1]
+        src = src.astype(jnp.float32)
+        dst = dst.astype(jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((features,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((features,)))
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = pair_mean_var(src, dst, pair_mask)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        g = scale / jnp.sqrt(var + self.epsilon)
+        a = src * g
+        c = dst * g + (bias - mean * g)
+        return a, c
+
+
+class DenseParams(nn.Module):
+    """Declares ``nn.Dense``-compatible ``{kernel, bias}`` params and returns
+    them raw, for ops (e.g. Pallas kernels) that consume the weights directly.
+    Parameter tree is byte-identical to ``nn.Dense`` under the same name."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_uniform,
+                            (self.in_features, self.features))
+        bias = (self.param("bias", zeros_init, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias

@@ -22,7 +22,7 @@ decomposed into two per-node matmuls broadcast-added over pairs, so no
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +30,12 @@ from flax import linen as nn
 
 from moleculesde_tpu.core.batch import GraphBatch
 from moleculesde_tpu.core.segment import masked_segment_mean
-from moleculesde_tpu.models.layers import MLP, MaskedBatchNorm, xavier_uniform, zeros_init
+from moleculesde_tpu.models.layers import (
+    MLP, DenseParams, MaskedBatchNorm, PairMaskedBatchNorm,
+    xavier_uniform, zeros_init)
 from moleculesde_tpu.ops.fourier import gaussian_fourier_projection
 from moleculesde_tpu.ops.frames import EPSILON
+from moleculesde_tpu.ops.pair_block import pair_relu_project
 from moleculesde_tpu.sde import SDE, make_sde
 
 _SQRT_GUARD = 1e-24
@@ -191,19 +194,32 @@ class EquivariantScoreNetwork(nn.Module):
 
             # basis MLP input = [h_s + h_d, edge_attr]; its first linear
             # W [2H, coff_dim] splits as W_h (h_s + h_d) + W_e e + b, letting
-            # the node part run per node instead of per pair (ref l.113-119)
-            h_part = nn.Dense(self.hidden_coff_dim, kernel_init=xavier_uniform,
-                              use_bias=False,
-                              name=f"basis_node_{module_idx}")(node_feature)
-            e_part = nn.Dense(self.hidden_coff_dim, kernel_init=xavier_uniform,
-                              name=f"basis_edge_{module_idx}")(edge_attr)
-            coff = h_part[:, :, None, :] + h_part[:, None, :, :] + e_part
-            coff = nn.silu(coff)
-            coff = nn.Dense(3, kernel_init=xavier_uniform,
-                            name=f"basis_out_{module_idx}")(coff)
-            basis_mix = (coff[..., 0:1] * coord_diff
-                         + coff[..., 1:2] * coord_cross
-                         + coff[..., 2:3] * coord_vertical)  # [B, N, N, 3]
+            # the node part run per node instead of per pair (ref l.113-119).
+            # The pair-resident intermediates ([B, N, N, coff_dim]) are the
+            # largest activations of the whole step; jax.checkpoint keeps them
+            # out of the saved-residual set (recomputed in backward) so large
+            # batches stay HBM-resident.
+            wh, _ = DenseParams(self.hidden_coff_dim, node_feature.shape[-1],
+                                use_bias=False,
+                                name=f"basis_node_{module_idx}")()
+            we, be = DenseParams(self.hidden_coff_dim, edge_attr.shape[-1],
+                                 name=f"basis_edge_{module_idx}")()
+            wo, bo = DenseParams(3, self.hidden_coff_dim,
+                                 name=f"basis_out_{module_idx}")()
+
+            def coff_mix(node_f, edge_a, cd, cc, cv, wh, we, be, wo, bo):
+                h_part = node_f @ wh
+                e_part = edge_a @ we + be
+                coff = jax.nn.silu(
+                    h_part[:, :, None, :] + h_part[:, None, :, :] + e_part)
+                coff = coff @ wo + bo
+                return (coff[..., 0:1] * cd
+                        + coff[..., 1:2] * cc
+                        + coff[..., 2:3] * cv)  # [B, N, N, 3]
+
+            basis_mix = jax.checkpoint(coff_mix)(
+                node_feature, edge_attr, coord_diff, coord_cross,
+                coord_vertical, wh, we, be, wo, bo)
             basis_mix = basis_mix * pair_mask[..., None]
             # EquiLayer(aggr="mean"): mean over sources s at destination d
             gradient = gradient + basis_mix.sum(axis=1) / count
@@ -232,14 +248,46 @@ class SDEModel2Dto3D(nn.Module):
     short_cut: bool = False
     concat_hidden: bool = False
     use_extend_graph: bool = True
-    # compute the bandwidth-dominant [B, N, N, emb] pair-feature block in
-    # bfloat16 (HBM-bound on TPU; frames, losses and the score head stay f32)
+    # compute the bandwidth-dominant pair-feature block in bfloat16 (HBM-bound
+    # on TPU; frames, losses and the score head stay f32)
     bf16_pairs: bool = False
+    # pair-block implementation: "auto" = fused Pallas kernel on TPU
+    # (ops/pair_block.py: never materializes [B, N, N, emb]), checkpointed XLA
+    # elsewhere; "xla" / "pallas" / "pallas_interpret" force one.
+    pair_impl: str = "auto"
 
     @property
     def sde_pos(self) -> SDE:
         return make_sde(self.sde_type, self.beta_min, self.beta_max,
                         self.num_diffusion_timesteps)
+
+    def setup(self):
+        h = self.hidden_dim
+        if self.variant in (1, 2):
+            self.edge_2D_emb_0 = PairDense(self.emb_dim)
+            self.edge_2D_emb_bn = PairMaskedBatchNorm()
+            self.edge_2D_emb_1 = DenseParams(h, self.emb_dim)
+        elif self.variant == 3:
+            self.edge_2D_emb = PairDense(h)
+        else:  # variant 4
+            self.edge_2D_emb_kernel = self.param(
+                "edge_2D_emb_kernel", xavier_uniform, (2 * self.emb_dim, h))
+            self.edge_2D_emb_bias = self.param(
+                "edge_2D_emb_bias", zeros_init, (h,))
+        if self.variant in (3, 4):
+            self.edge_emb = nn.Embed(100, h, embedding_init=xavier_uniform)
+        self.coff_fourier_W = self.param(
+            "coff_fourier_W", nn.initializers.normal(1.0), (h,))
+        self.coff_mlp = nn.Dense(h, kernel_init=xavier_uniform)
+        self.project = MLP([h, h], activation="silu")
+        if self.variant == 2:
+            self.dist_fourier_W = self.param(
+                "dist_fourier_W", nn.initializers.normal(1.0), (h,))
+            self.input_mlp = MLP([h], activation="silu")
+        self.node_emb = MLP([h], activation="silu")
+        self.score_network = EquivariantScoreNetwork(
+            hidden_dim=h, hidden_coff_dim=128,
+            short_cut=self.short_cut, concat_hidden=self.concat_hidden)
 
     def _pair_mask_attr(self, batch: GraphBatch):
         """Dense [B, N, N] extended-adjacency mask + bond-type labels,
@@ -259,7 +307,101 @@ class SDEModel2Dto3D(nn.Module):
             eattr.astype(jnp.int32), mode="drop")
         return mask, attr
 
-    @nn.compact
+    def precompute_conditioning(
+        self,
+        node_2d_repr: jnp.ndarray,
+        batch: GraphBatch,
+        use_running_average: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Position-independent conditioning features.
+
+        Everything here depends only on the 2D graph (node embeddings, bond
+        topology) — it is loop-invariant across the reverse-SDE sampling chain
+        (the reference recomputes it in every one of the 1000 get_score calls,
+        SDE_model_2D_to_3D.py:393-445), so samplers hoist it out of the
+        ``lax.scan`` and reuse the result at every step.
+        """
+        b, n = batch.num_graphs, batch.n_max
+        h = self.hidden_dim
+        pair_mask, pair_attr = self._pair_mask_attr(batch)
+        h2d = node_2d_repr.reshape(b, n, -1)
+
+        # --- 2D edge embedding -------------------------------------------------
+        if self.variant in (1, 2):
+            src_p, dst_p = self.edge_2D_emb_0(h2d)
+            a, c = self.edge_2D_emb_bn(src_p, dst_p, pair_mask,
+                                       use_running_average)
+            w1, b1 = self.edge_2D_emb_1()
+            edge_attr_2d = pair_relu_project(
+                a, c, w1, bf16=self.bf16_pairs, impl=self.pair_impl) + b1
+        else:
+            if self.variant == 3:
+                src_p, dst_p = self.edge_2D_emb(h2d)
+                edge_attr_2d = src_p[:, :, None, :] + dst_p[:, None, :, :]
+            else:  # variant 4: [h_s * h_d, h_s + h_d] pair features (ref l.726)
+                kernel = self.edge_2D_emb_kernel
+                bias = self.edge_2D_emb_bias
+                w_mul, w_add = kernel[: self.emb_dim], kernel[self.emb_dim :]
+                # (h_s * h_d) @ W1 decomposes via einsum; (h_s + h_d) @ W2 splits
+                edge_attr_2d = (
+                    jnp.einsum("bsf,bdf,fo->bsdo", h2d, h2d, w_mul)
+                    + (h2d @ w_add)[:, :, None, :]
+                    + (h2d @ w_add)[:, None, :, :]
+                    + bias
+                )
+            bond_emb = self.edge_emb(jnp.clip(pair_attr, 0, 99))
+            edge_attr_2d = edge_attr_2d + bond_emb
+
+        node_attr = self.node_emb(h2d)
+        return {"edge_attr_2d": edge_attr_2d, "node_attr": node_attr,
+                "pair_mask": pair_mask}
+
+    def score_from_cond(
+        self,
+        cond: Dict[str, jnp.ndarray],
+        batch: GraphBatch,
+        pos: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Position-dependent half: frames + invariant coefficient features +
+        equivariant score network -> raw gradient [N_nodes, 3]."""
+        h = self.hidden_dim
+        b, n = batch.num_graphs, batch.n_max
+        pair_mask = cond["pair_mask"]
+        edge_attr_2d = cond["edge_attr_2d"]
+        pos3 = pos.reshape(b, n, 3)
+
+        # --- equivariant frames + invariant coefficients -----------------------
+        basis, coff_s, coff_d, pseudo_angle = dense_frames(pos3)
+
+        w_coff = jax.lax.stop_gradient(self.coff_fourier_W)  # frozen (ref GFP l.62)
+
+        def coff_embed(coff):
+            # embeds components 0 and 2 (component 1 is |.|-folded; ref l.111-118)
+            e0 = gaussian_fourier_projection(coff[..., 0:1], w_coff)
+            e2 = gaussian_fourier_projection(coff[..., 2:3], w_coff)
+            return jnp.concatenate([e0, e2], axis=-1)
+
+        embed_s = self.coff_mlp(coff_embed(coff_s))
+        embed_d = self.coff_mlp(coff_embed(coff_d))
+        edge_embed = jnp.concatenate([pseudo_angle, embed_s, embed_d], axis=-1)
+        frame_inv = self.project(edge_embed)
+
+        if self.variant == 2:
+            diff = pos3[:, :, None, :] - pos3[:, None, :, :]
+            dist = _safe_norm(diff)
+            w_dist = jax.lax.stop_gradient(self.dist_fourier_W)
+            dist_emb = gaussian_fourier_projection(dist, w_dist)
+            dist_inv = self.input_mlp(dist_emb)
+            edge_attr = dist_inv * edge_attr_2d + frame_inv
+        else:
+            edge_attr = edge_attr_2d + frame_inv
+        edge_attr = edge_attr * pair_mask[..., None]
+
+        out = self.score_network(
+            cond["node_attr"], edge_attr, pair_mask, basis, deterministic)
+        return out["gradient"].reshape(b * n, 3)
+
     def _score_output(
         self,
         node_2d_repr: jnp.ndarray,
@@ -269,83 +411,9 @@ class SDEModel2Dto3D(nn.Module):
         use_running_average: bool,
     ) -> jnp.ndarray:
         """Shared feature pipeline + score network -> raw gradient [N_nodes, 3]."""
-        h = self.hidden_dim
-        b, n = batch.num_graphs, batch.n_max
-        pair_mask, pair_attr = self._pair_mask_attr(batch)
-        h2d = node_2d_repr.reshape(b, n, -1)
-        pos3 = pos.reshape(b, n, 3)
-
-        pair_dtype = jnp.bfloat16 if self.bf16_pairs else jnp.float32
-
-        # --- 2D edge embedding -------------------------------------------------
-        if self.variant in (1, 2):
-            src_p, dst_p = PairDense(self.emb_dim, name="edge_2D_emb_0")(h2d)
-            x = (src_p.astype(pair_dtype)[:, :, None, :]
-                 + dst_p.astype(pair_dtype)[:, None, :, :])
-            x = MaskedBatchNorm(name="edge_2D_emb_bn")(
-                x.reshape(b * n * n, -1), pair_mask.reshape(-1),
-                use_running_average).reshape(b, n, n, -1).astype(pair_dtype)
-            x = nn.relu(x)
-            edge_attr_2d = nn.Dense(h, kernel_init=xavier_uniform, dtype=pair_dtype,
-                                    name="edge_2D_emb_1")(x).astype(jnp.float32)
-        else:
-            if self.variant == 3:
-                src_p, dst_p = PairDense(h, name="edge_2D_emb")(h2d)
-                edge_attr_2d = src_p[:, :, None, :] + dst_p[:, None, :, :]
-            else:  # variant 4: [h_s * h_d, h_s + h_d] pair features (ref l.726)
-                kernel = self.param("edge_2D_emb_kernel", xavier_uniform,
-                                    (2 * self.emb_dim, h))
-                bias = self.param("edge_2D_emb_bias", zeros_init, (h,))
-                w_mul, w_add = kernel[: self.emb_dim], kernel[self.emb_dim :]
-                # (h_s * h_d) @ W1 decomposes via einsum; (h_s + h_d) @ W2 splits
-                edge_attr_2d = (
-                    jnp.einsum("bsf,bdf,fo->bsdo", h2d, h2d, w_mul)
-                    + (h2d @ w_add)[:, :, None, :]
-                    + (h2d @ w_add)[:, None, :, :]
-                    + bias
-                )
-            bond_emb = nn.Embed(100, h, embedding_init=xavier_uniform,
-                                name="edge_emb")(jnp.clip(pair_attr, 0, 99))
-            edge_attr_2d = edge_attr_2d + bond_emb
-
-        # --- equivariant frames + invariant coefficients -----------------------
-        basis, coff_s, coff_d, pseudo_angle = dense_frames(pos3)
-
-        w_coff = self.param("coff_fourier_W", nn.initializers.normal(1.0), (h,))
-        w_coff = jax.lax.stop_gradient(w_coff)  # non-trainable (ref GFP l.62)
-
-        def coff_embed(coff):
-            # embeds components 0 and 2 (component 1 is |.|-folded; ref l.111-118)
-            e0 = gaussian_fourier_projection(coff[..., 0:1], w_coff)
-            e2 = gaussian_fourier_projection(coff[..., 2:3], w_coff)
-            return jnp.concatenate([e0, e2], axis=-1)
-
-        coff_mlp = nn.Dense(h, kernel_init=xavier_uniform, name="coff_mlp")
-        embed_s = coff_mlp(coff_embed(coff_s))
-        embed_d = coff_mlp(coff_embed(coff_d))
-        edge_embed = jnp.concatenate([pseudo_angle, embed_s, embed_d], axis=-1)
-        frame_inv = MLP([h, h], activation="silu", name="project")(edge_embed)
-
-        if self.variant == 2:
-            diff = pos3[:, :, None, :] - pos3[:, None, :, :]
-            dist = _safe_norm(diff)
-            w_dist = self.param("dist_fourier_W", nn.initializers.normal(1.0), (h,))
-            w_dist = jax.lax.stop_gradient(w_dist)
-            dist_emb = gaussian_fourier_projection(dist, w_dist)
-            dist_inv = MLP([h], activation="silu", name="input_mlp")(dist_emb)
-            edge_attr = dist_inv * edge_attr_2d + frame_inv
-        else:
-            edge_attr = edge_attr_2d + frame_inv
-        edge_attr = edge_attr * pair_mask[..., None]
-
-        node_attr = MLP([h], activation="silu", name="node_emb")(h2d)
-
-        out = EquivariantScoreNetwork(
-            hidden_dim=h, hidden_coff_dim=128,
-            short_cut=self.short_cut, concat_hidden=self.concat_hidden,
-            name="score_network",
-        )(node_attr, edge_attr, pair_mask, basis, deterministic)
-        return out["gradient"].reshape(b * n, 3)
+        cond = self.precompute_conditioning(
+            node_2d_repr, batch, use_running_average)
+        return self.score_from_cond(cond, batch, pos, deterministic)
 
     def __call__(self, node_2d_repr, batch, key, anneal_power=0.0,
                  deterministic=False, use_running_average=False):

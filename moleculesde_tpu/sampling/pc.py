@@ -80,9 +80,19 @@ def sample_positions_pc(
     pos = sde.prior_sampling(k_init, batch.positions.shape)
     pos = pos * mask[:, None]
 
+    # The conditioning (2D pair embedding, node embedding, pair mask) is
+    # position-independent: compute it ONCE and close over it, instead of
+    # rebuilding it inside every one of the ``2 * corrector_steps * N`` score
+    # evaluations of the chain (the reference recomputes it per call,
+    # SDE_model_2D_to_3D.py:393-445).
+    cond = model.apply(variables, node_2d_repr, batch, True,
+                       method=SDEModel2Dto3D.precompute_conditioning)
+
     def get_score(pos, t_nodes):
-        return model.apply(variables, node_2d_repr, batch, pos, t_nodes,
-                           method=SDEModel2Dto3D.get_score)
+        raw = model.apply(variables, cond, batch, pos,
+                          method=SDEModel2Dto3D.score_from_cond)
+        _, std = sde.marginal_prob(pos, t_nodes)
+        return -raw / std[:, None]
 
     def corrector(pos, t_nodes, key):
         alpha = sde.corrector_alpha(t_nodes)  # [N]
