@@ -120,64 +120,84 @@ def main(argv=None):
         weight_decay=args.decay, pretrained_encoder_params=pretrained)
     train_step, eval_step = make_md17_steps(
         model, tx, args.MD17_energy_coeff, args.MD17_force_coeff,
-        energy_scale=e_scale, energy_shift=e_shift)
+        energy_scale=e_scale, energy_shift=e_shift, schedule=schedule)
 
-    def evaluate(loader):
-        e_err = f_err = 0.0
-        e_cnt = f_cnt = 0
+    # Device-side eval accumulation: per-batch (energy-err, count, force-err,
+    # count) sums stay on device; sync happens only at print points (first
+    # D2H permanently degrades dispatch latency on tunneled TPUs; CLAUDE.md).
+    @jax.jit
+    def err_step(state, batch, gm):
+        pred_e, pred_f = eval_step(state, batch)
+        b, n = batch.num_graphs, batch.n_max
+        e_err = (jnp.abs(pred_e - batch.y[:, 0]) * gm).sum()
+        nm = batch.node_mask.reshape(b, n).astype(jnp.float32) * gm[:, None]
+        pf = pred_f.reshape(b, n, 3)
+        yf = batch.forces.reshape(b, n, 3)
+        # NaN-force masking at eval (ref finetune_MD17.py:127-130)
+        ferr = jnp.nan_to_num(jnp.abs(pf - yf), nan=0.0) * nm[..., None]
+        return e_err, gm.sum(), ferr.sum(), nm.sum() * 3
+
+    def evaluate(state, loader):
+        acc = [jnp.zeros(())] * 4
         for batch, n_real in loader:
-            pred_e, pred_f = eval_step(state, batch)
-            pe = np.asarray(pred_e)[:n_real]
-            y = np.asarray(batch.y)[:n_real, 0]
-            e_err += np.abs(pe - y).sum()
-            e_cnt += n_real
-            pf = np.asarray(pred_f).reshape(batch.num_graphs, batch.n_max, 3)[:n_real]
-            yf = np.asarray(batch.forces).reshape(batch.num_graphs, batch.n_max, 3)[:n_real]
-            mask = np.asarray(batch.node_mask).reshape(
-                batch.num_graphs, batch.n_max)[:n_real]
-            err = np.abs(pf - yf) * mask[..., None]
-            # NaN-force masking at eval (ref finetune_MD17.py:127-130)
-            err = np.nan_to_num(err, nan=0.0)
-            f_err += err.sum()
-            f_cnt += mask.sum() * 3
-        return e_err / max(e_cnt, 1), f_err / max(f_cnt, 1)
+            gm = (np.arange(batch.num_graphs) < n_real).astype(np.float32)
+            vals = err_step(state, batch, gm)
+            acc = [a + v for a, v in zip(acc, vals)]
+        return (acc[0] / jnp.maximum(acc[1], 1.0),
+                acc[2] / jnp.maximum(acc[3], 1.0))
+
+    from moleculesde_tpu.data.loader import device_prefetch
+    from moleculesde_tpu.finetune.common import make_best_tracker
 
     logger = MetricsLogger(args.output_model_dir or None)
-    best_val = float("inf")
-    best_metrics = (0.0, 0.0)
+    tracker_init, tracker_update = make_best_tracker("min")
+    best = None
+    pending = []
+    lr_dev = jnp.asarray(args.lr)
+    zero = jnp.zeros(())
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
-        total, nb = 0.0, 0
-        from moleculesde_tpu.data.loader import device_prefetch
-
+        total, nb = None, 0
         for batch, n_real in device_prefetch(iter(train_loader), size=2):
-            gm = jnp.arange(batch.num_graphs) < n_real
+            gm = np.arange(batch.num_graphs) < n_real
             y_e = (batch.y[:, 0] - e_shift) / e_scale
             y_f = batch.forces / e_scale
-            state, metrics = train_step(state, batch, y_e, y_f, gm,
-                                        jnp.asarray(float(schedule(int(state.step)))))
-            total += float(metrics["loss"])
+            state, metrics = train_step(state, batch, y_e, y_f, gm, lr_dev)
+            total = metrics["loss"] if total is None else total + metrics["loss"]
             nb += 1
-        val_e, val_f = evaluate(val_loader)
-        test_e, test_f = evaluate(test_loader) if args.eval_test else (0.0, 0.0)
+        val_e, val_f = evaluate(state, val_loader)
+        test_e, test_f = evaluate(state, test_loader) if args.eval_test \
+            else (zero, zero)
         score = args.MD17_energy_coeff * val_e + args.MD17_force_coeff * val_f
-        logger.log(epoch, {"loss": total / max(nb, 1),
-                           "val_energy_mae": val_e, "val_force_mae": val_f,
-                           "test_energy_mae": test_e, "test_force_mae": test_f},
-                   echo=(f"Epoch: {epoch}\tLoss: {total / max(nb, 1):.5f}\t"
-                         f"val E MAE: {val_e:.5f}\tval F MAE: {val_f:.5f}\t"
-                         f"test E MAE: {test_e:.5f}\ttest F MAE: {test_f:.5f}"))
-        print(f"Took\t{time.time() - t0}\n")
-        if score < best_val:
-            best_val = score
-            best_metrics = (test_e, test_f)
-            if args.output_model_dir:
-                save_pretrain_checkpoint(
-                    args.output_model_dir,
-                    {"model": jax.device_get(state.params)}, best=True)
 
-    print(f"best test E MAE: {best_metrics[0]:.6f}\tF MAE: {best_metrics[1]:.6f}")
+        payload = (state.params, test_e, test_f)
+        best = tracker_update(best, score, payload) if best is not None \
+            else tracker_update(tracker_init(payload), score, payload)
+        pending.append((epoch, {
+            "loss": (total if total is not None else zero) / max(nb, 1),
+            "val_energy_mae": val_e, "val_force_mae": val_f,
+            "test_energy_mae": test_e, "test_force_mae": test_f}))
+
+        if epoch % max(args.print_every_epoch, 1) == 0 or epoch == args.epochs:
+            for ep, m in jax.device_get(pending):
+                logger.log(ep, m, echo=(
+                    f"Epoch: {ep}\tLoss: {m['loss']:.5f}\t"
+                    f"val E MAE: {m['val_energy_mae']:.5f}\t"
+                    f"val F MAE: {m['val_force_mae']:.5f}\t"
+                    f"test E MAE: {m['test_energy_mae']:.5f}\t"
+                    f"test F MAE: {m['test_force_mae']:.5f}"))
+            pending = []
+        else:
+            jax.block_until_ready(val_e)  # pace epochs without D2H
+        print(f"Took\t{time.time() - t0}\n")
+
+    _, (best_params, best_e, best_f), best_epoch, _ = jax.device_get(best)
+    best_metrics = (float(best_e), float(best_f))
+    print(f"best test E MAE: {best_metrics[0]:.6f}\tF MAE: {best_metrics[1]:.6f} "
+          f"(epoch {int(best_epoch)})")
     if args.output_model_dir:
+        save_pretrain_checkpoint(
+            args.output_model_dir, {"model": best_params}, best=True)
         save_pretrain_checkpoint(
             args.output_model_dir, {"model": jax.device_get(state.params)},
             best=False)

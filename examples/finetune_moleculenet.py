@@ -36,7 +36,7 @@ from moleculesde_tpu.utils.checkpoints import (
     load_pretrain_checkpoint,
     save_pretrain_checkpoint,
 )
-from moleculesde_tpu.utils.metrics import MetricsLogger, roc_auc_per_task
+from moleculesde_tpu.utils.metrics import MetricsLogger, roc_auc_mean_device
 from moleculesde_tpu.utils.schedulers import make_lr_schedule
 
 
@@ -67,18 +67,29 @@ def load_data(args):
     return graphs, num_tasks, split
 
 
-def evaluate(eval_step, state, loader, num_tasks):
-    ys, scores = [], []
-    for batch, n_real in loader:
-        pred = np.asarray(eval_step(state, batch))[:n_real]
-        ys.append(np.asarray(batch.y)[:n_real])
-        scores.append(pred)
-    y = np.concatenate(ys)
-    s = np.concatenate(scores)
-    aucs = roc_auc_per_task(y, s)
-    if len(aucs) < num_tasks:
-        print(f"Some target is missing! Missing ratio: {1 - len(aucs) / num_tasks}")
-    return float(np.mean(aucs)) if aucs else 0.0
+def make_evaluate(eval_step):
+    """Device-side per-epoch ROC-AUC: predictions, labels and the rank-sum
+    AUC all stay on device (utils.metrics.roc_auc_mean_device), so the eval
+    loop performs no device->host transfer — the first D2H permanently
+    degrades dispatch latency on tunneled TPUs (CLAUDE.md)."""
+    auc_fn = jax.jit(roc_auc_mean_device)
+
+    def evaluate(state, loader, collect=False):
+        ys, scores = [], []
+        for batch, n_real in loader:
+            pred = eval_step(state, batch)
+            gm = np.arange(batch.num_graphs) < n_real
+            # padded graphs get label 0 on every task = masked out
+            ys.append(np.where(gm[:, None], batch.y, 0.0))
+            scores.append(pred)
+        y = jnp.concatenate([jnp.asarray(v) for v in ys])
+        s = jnp.concatenate(scores)
+        auc, n_ok = auc_fn(y, s)
+        if collect:
+            return auc, n_ok, y, s
+        return auc, n_ok
+
+    return evaluate
 
 
 def main(argv=None):
@@ -116,63 +127,77 @@ def main(argv=None):
     state, tx = create_classification_state(
         model, init_batch, key, lr=args.lr, schedule=schedule,
         weight_decay=args.decay, pretrained_gnn_params=pretrained)
-    train_step, eval_step = make_classification_steps(model, tx)
+    # schedule is traced inside the step (no per-batch host LR computation)
+    train_step, eval_step = make_classification_steps(model, tx, schedule)
+    evaluate = make_evaluate(eval_step)
+
+    from moleculesde_tpu.data.loader import device_prefetch
+    from moleculesde_tpu.finetune.common import make_best_tracker
 
     logger = MetricsLogger(args.output_model_dir or None)
-    best_val, best_test, best_epoch = -1.0, 0.0, 0
-    train_roc_list, val_roc_list, test_roc_list = [], [], []
+    lr_dev = jnp.asarray(args.lr)
+    tracker_init, tracker_update = make_best_tracker("max")
+    best = None
+    # per-epoch metrics kept as device scalars; synced only at print points
+    pending = []
+    zero = jnp.zeros(())
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
-        total = 0.0
-        n = 0
-        from moleculesde_tpu.data.loader import device_prefetch
-
+        total, n = None, 0
         for batch, n_real in device_prefetch(iter(train_loader), size=2):
-            gm = jnp.arange(batch.num_graphs) < n_real
-            state, loss = train_step(state, batch, key, gm,
-                                     jnp.asarray(float(schedule(int(state.step)))))
-            total += float(loss)
+            gm = np.arange(batch.num_graphs) < n_real
+            state, loss = train_step(state, batch, key, gm, lr_dev)
+            total = loss if total is None else total + loss
             n += 1
-        train_loss = total / max(n, 1)
+        train_loss = (total if total is not None else zero) / max(n, 1)
 
-        train_auc = evaluate(eval_step, state, make_loader(train_idx, False),
-                             num_tasks) if args.eval_train else 0.0
-        val_auc = evaluate(eval_step, state, val_loader, num_tasks)
-        test_auc = evaluate(eval_step, state, test_loader, num_tasks) \
-            if args.eval_test else 0.0
-        train_roc_list.append(train_auc)
-        val_roc_list.append(val_auc)
-        test_roc_list.append(test_auc)
-        logger.log(epoch, {"loss": train_loss, "train_auc": train_auc,
-                           "val_auc": val_auc, "test_auc": test_auc},
-                   echo=f"train: {train_auc:.6f}\tval: {val_auc:.6f}\ttest: {test_auc:.6f}")
+        train_auc, _ = evaluate(state, make_loader(train_idx, False)) \
+            if args.eval_train else (zero, zero)
+        val_auc, val_ok = evaluate(state, val_loader)
+        test_auc, _ = evaluate(state, test_loader) if args.eval_test \
+            else (zero, zero)
+
+        # best-val selection runs on device; the winner is read once at exit
+        payload = (state.params, state.batch_stats, train_auc, test_auc)
+        best = tracker_update(best, val_auc, payload) if best is not None \
+            else tracker_update(tracker_init(payload), val_auc, payload)
+        pending.append((epoch, {"loss": train_loss, "train_auc": train_auc,
+                                "val_auc": val_auc, "test_auc": test_auc}))
+
+        if epoch % max(args.print_every_epoch, 1) == 0 or epoch == args.epochs:
+            for ep, m in jax.device_get(pending):
+                logger.log(ep, m,
+                           echo=f"train: {m['train_auc']:.6f}\t"
+                                f"val: {m['val_auc']:.6f}\t"
+                                f"test: {m['test_auc']:.6f}")
+            pending = []
+        else:
+            jax.block_until_ready(val_auc)  # pace epochs without D2H
         print(f"Took\t{time.time() - t0}\n")
 
-        if val_auc > best_val:
-            best_val, best_test, best_epoch = val_auc, test_auc, epoch
-            if args.output_model_dir:
-                save_pretrain_checkpoint(
-                    args.output_model_dir,
-                    {"model": jax.device_get(state.params)},
-                    {"model": jax.device_get(state.batch_stats)}, best=True)
-                # prediction dump at the best epoch (the reference's
-                # evaluation_best.pth, finetune_MoleculeNet.py:324-339)
-                ys, ss = [], []
-                for batch, n_real in test_loader:
-                    ss.append(np.asarray(eval_step(state, batch))[:n_real])
-                    ys.append(np.asarray(batch.y)[:n_real])
-                if ys:
-                    np.savez(os.path.join(args.output_model_dir,
-                                          "evaluation_best.npz"),
-                             test_true=np.concatenate(ys),
-                             test_scores=np.concatenate(ss))
-
-    print(f"best train: {0:.6f}\tval: {best_val:.6f}\ttest: {best_test:.6f}")
+    best_val, (best_params, best_bs, best_train, best_test), best_epoch, _ = \
+        jax.device_get(best)
+    if int(jax.device_get(val_ok)) < num_tasks:
+        print("Some target is missing! Missing ratio: "
+              f"{1 - int(jax.device_get(val_ok)) / num_tasks}")
+    print(f"best train: {float(best_train):.6f}\tval: {float(best_val):.6f}\t"
+          f"test: {float(best_test):.6f} (epoch {int(best_epoch)})")
     if args.output_model_dir:
+        save_pretrain_checkpoint(
+            args.output_model_dir, {"model": best_params},
+            {"model": best_bs}, best=True)
         save_pretrain_checkpoint(
             args.output_model_dir, {"model": jax.device_get(state.params)},
             {"model": jax.device_get(state.batch_stats)}, best=False)
-    return best_val, best_test
+        # prediction dump at the best epoch (the reference's
+        # evaluation_best.pth, finetune_MoleculeNet.py:324-339)
+        best_state = state.replace(params=best_params, batch_stats=best_bs)
+        _, _, y, s = evaluate(best_state, test_loader, collect=True)
+        valid_rows = np.asarray(jax.device_get((y != 0).any(axis=1)))
+        np.savez(os.path.join(args.output_model_dir, "evaluation_best.npz"),
+                 test_true=np.asarray(jax.device_get(y))[valid_rows],
+                 test_scores=np.asarray(jax.device_get(s))[valid_rows])
+    return float(best_val), float(best_test)
 
 
 if __name__ == "__main__":

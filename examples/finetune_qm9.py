@@ -138,66 +138,91 @@ def main(argv=None):
     state, tx = create_regression_state(
         model, init_batch, key, lr=args.lr, schedule=schedule,
         weight_decay=args.decay, pretrained_encoder_params=pretrained)
-    train_step, eval_step = make_regression_steps(model, tx, args.loss)
+    # schedule is traced inside the step; the explicit lr arg only serves the
+    # host-driven plateau controller
+    train_step, eval_step = make_regression_steps(model, tx, args.loss,
+                                                  schedule)
 
-    def evaluate(loader, collect=False):
-        err, count = 0.0, 0
-        preds, actuals = [], []
+    # Eval stays fully on device: per-batch (abs-err-sum, count) accumulate
+    # into device scalars; host sync happens only at print points (the first
+    # D2H permanently degrades dispatch latency on tunneled TPUs; CLAUDE.md).
+    @jax.jit
+    def err_step(state, batch, gm):
+        pred = eval_step(state, batch) * y_std + y_mean
+        return (jnp.abs(pred - batch.y[:, 0]) * gm).sum(), gm.sum()
+
+    def evaluate(state, loader):
+        e, c = jnp.zeros(()), jnp.zeros(())
         for batch, n_real in loader:
-            pred = np.asarray(eval_step(state, batch))[:n_real]
-            pred = pred * y_std + y_mean
-            y = np.asarray(batch.y)[:n_real, 0]
-            err += np.abs(pred - y).sum()
-            count += n_real
-            if collect:
-                preds.append(pred)
-                actuals.append(y)
-        mae = err / max(count, 1)
-        if collect:
-            return mae, np.concatenate(preds), np.concatenate(actuals)
-        return mae
+            gm = (np.arange(batch.num_graphs) < n_real).astype(np.float32)
+            err, cnt = err_step(state, batch, gm)
+            e, c = e + err, c + cnt
+        return e / jnp.maximum(c, 1.0)
+
+    from moleculesde_tpu.data.loader import device_prefetch
+    from moleculesde_tpu.finetune.common import make_best_tracker
 
     logger = MetricsLogger(args.output_model_dir or None)
-    best_val, best_test = float("inf"), float("inf")
+    tracker_init, tracker_update = make_best_tracker("min")
+    best = None
+    pending = []
+    lr_dev = jnp.asarray(args.lr)
+    zero = jnp.zeros(())
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
-        total, nb = 0.0, 0
-        from moleculesde_tpu.data.loader import device_prefetch
-
+        total, nb = None, 0
         for batch, n_real in device_prefetch(iter(train_loader), size=2):
-            gm = jnp.arange(batch.num_graphs) < n_real
+            gm = np.arange(batch.num_graphs) < n_real
             y_norm = (batch.y[:, 0] - y_mean) / y_std
-            lr_now = plateau.lr if plateau is not None else float(schedule(int(state.step)))
-            state, loss = train_step(state, batch, y_norm, gm, jnp.asarray(lr_now))
-            total += float(loss)
+            state, loss = train_step(state, batch, y_norm, gm, lr_dev)
+            total = loss if total is None else total + loss
             nb += 1
-        val_mae = evaluate(val_loader)
-        test_mae = evaluate(test_loader) if args.eval_test else 0.0
+        val_mae = evaluate(state, val_loader)
+        test_mae = evaluate(state, test_loader) if args.eval_test else zero
         if plateau is not None:
-            plateau.update(val_mae)
-        logger.log(epoch, {"loss": total / max(nb, 1), "val_mae": val_mae,
-                           "test_mae": test_mae},
-                   echo=f"Epoch: {epoch}\nLoss: {total / max(nb, 1)}\n"
-                        f"val: {val_mae:.6f}\ttest: {test_mae:.6f}")
-        print(f"Took\t{time.time() - t0}\n")
-        if val_mae < best_val:
-            best_val, best_test = val_mae, test_mae
-            if args.output_model_dir:
-                save_pretrain_checkpoint(
-                    args.output_model_dir,
-                    {"model": jax.device_get(state.params)}, best=True)
-                # prediction dump at the best epoch (the reference's
-                # evaluation_best.pth npz, finetune_QM9.py:111-130)
-                _, te_pred, te_true = evaluate(test_loader, collect=True)
-                np.savez(os.path.join(args.output_model_dir, "evaluation_best.npz"),
-                         test_pred=te_pred, test_true=te_true)
+            # ReduceLROnPlateau is inherently host-driven: one sync per epoch
+            lr_dev = jnp.asarray(plateau.update(float(val_mae)))
 
-    print(f"best val: {best_val:.6f}\ttest: {best_test:.6f}")
+        payload = (state.params, test_mae)
+        best = tracker_update(best, val_mae, payload) if best is not None \
+            else tracker_update(tracker_init(payload), val_mae, payload)
+        pending.append((epoch, {"loss": (total if total is not None else zero)
+                                / max(nb, 1),
+                                "val_mae": val_mae, "test_mae": test_mae}))
+
+        if epoch % max(args.print_every_epoch, 1) == 0 or epoch == args.epochs:
+            for ep, m in jax.device_get(pending):
+                logger.log(ep, m,
+                           echo=f"Epoch: {ep}\nLoss: {m['loss']}\n"
+                                f"val: {m['val_mae']:.6f}\ttest: {m['test_mae']:.6f}")
+            pending = []
+        else:
+            jax.block_until_ready(val_mae)  # pace epochs without D2H
+        print(f"Took\t{time.time() - t0}\n")
+
+    neg_best_val, (best_params, best_test), best_epoch, _ = jax.device_get(best)
+    best_val = -float(neg_best_val)  # tracker stores sign-flipped for "min"
+    print(f"best val: {best_val:.6f}\ttest: {float(best_test):.6f} "
+          f"(epoch {int(best_epoch)})")
     if args.output_model_dir:
+        save_pretrain_checkpoint(
+            args.output_model_dir, {"model": best_params}, best=True)
         save_pretrain_checkpoint(
             args.output_model_dir, {"model": jax.device_get(state.params)},
             best=False)
-    return best_val, best_test
+        # prediction dump at the best epoch (the reference's
+        # evaluation_best.pth npz, finetune_QM9.py:111-130)
+        best_state = state.replace(params=jax.device_put(best_params))
+        preds, trues = [], []
+        for batch, n_real in test_loader:
+            pred = np.asarray(eval_step(best_state, batch))[:n_real]
+            preds.append(pred * y_std + y_mean)
+            trues.append(np.asarray(batch.y)[:n_real, 0])
+        if preds:
+            np.savez(os.path.join(args.output_model_dir, "evaluation_best.npz"),
+                     test_pred=np.concatenate(preds),
+                     test_true=np.concatenate(trues))
+    return best_val, float(best_test)
 
 
 if __name__ == "__main__":

@@ -51,9 +51,13 @@ def create_classification_state(
 
 
 def make_classification_steps(
-    model: GNNGraphPred, tx
+    model: GNNGraphPred, tx, schedule=None
 ) -> Tuple[Callable, Callable]:
-    """Returns (train_step, eval_step)."""
+    """Returns (train_step, eval_step).  When ``schedule`` is given the
+    per-step learning rate is computed *inside* the jitted step from the
+    traced ``state.step`` (no host sync per batch); the explicit ``lr``
+    argument is then ignored and only serves host-driven schedules
+    (ReduceLROnPlateau)."""
 
     def loss_fn(params, batch_stats, batch: GraphBatch, key, graph_mask):
         pred, mut = model.apply(
@@ -70,6 +74,8 @@ def make_classification_steps(
     @jax.jit
     def train_step(state: FinetuneState, batch: GraphBatch, key, graph_mask, lr):
         key = jax.random.fold_in(key, state.step)  # one device program per step
+        if schedule is not None:
+            lr = schedule(state.step)  # traced: no host round-trip per batch
         (loss, (new_bs,)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, key, graph_mask)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

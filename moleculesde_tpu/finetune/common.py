@@ -50,3 +50,34 @@ def apply_updates_with_lr(params, updates, lr):
 
 def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def make_best_tracker(mode: str = "max"):
+    """Device-side best-checkpoint tracking: no D2H in the epoch loop.
+
+    Returns ``update(best, metric, payload) -> best`` (jitted tree-select) and
+    ``init(metric, payload) -> best``.  ``payload`` is any pytree (params,
+    metrics to report at the best epoch, ...).  The reference tracks best-val
+    on the host per epoch (finetune_MoleculeNet.py:324-339); on tunneled TPUs
+    a host read per epoch permanently degrades dispatch latency, so the
+    selection runs on-device and the winner is read once after training.
+    """
+    sign = 1.0 if mode == "max" else -1.0
+    worst = -jnp.inf
+
+    @jax.jit
+    def update(best, metric, payload):
+        best_metric, best_payload, best_epoch, epoch = best
+        better = sign * metric > best_metric
+        new_metric = jnp.where(better, sign * metric, best_metric)
+        new_payload = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(better, n, o), payload, best_payload)
+        new_epoch = jnp.where(better, epoch, best_epoch)
+        return new_metric, new_payload, new_epoch, epoch + 1
+
+    def init(payload):
+        zeros = jax.tree_util.tree_map(jnp.asarray, payload)
+        return (jnp.asarray(worst), zeros, jnp.asarray(0, jnp.int32),
+                jnp.asarray(1, jnp.int32))
+
+    return init, update

@@ -56,9 +56,12 @@ def make_md17_steps(
     force_coeff: float = 0.95,
     energy_scale: float = 1.0,
     energy_shift: float = 0.0,
+    schedule=None,
 ) -> Tuple[Callable, Callable]:
     """Returns (train_step, eval_step).  ``energy_scale/shift`` implement the
-    optional normalization (pred_E_raw = pred * scale + shift)."""
+    optional normalization (pred_E_raw = pred * scale + shift).  With
+    ``schedule`` the per-step lr is computed inside the jitted step from the
+    traced ``state.step`` (no host sync per batch)."""
 
     def energy_and_forces(params, batch: GraphBatch):
         def energy_of(pos):
@@ -83,6 +86,8 @@ def make_md17_steps(
 
     @jax.jit
     def train_step(state: FinetuneState, batch: GraphBatch, y_e, y_f, graph_mask, lr):
+        if schedule is not None:
+            lr = schedule(state.step)  # traced: no host round-trip per batch
         (loss, (e_loss, f_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, y_e, y_f, graph_mask)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

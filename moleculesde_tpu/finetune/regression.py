@@ -69,11 +69,15 @@ def create_regression_state(
 
 
 def make_regression_steps(
-    model: RegressionModel, tx, loss_type: str = "mae"
+    model: RegressionModel, tx, loss_type: str = "mae", schedule=None
 ) -> Tuple[Callable, Callable]:
     """Returns (train_step, eval_step).  Targets fed to train_step must be
-    pre-normalized; eval_step returns raw (normalized) predictions for
-    host-side denormalization + MAE."""
+    pre-normalized.  With ``schedule`` the per-step lr is computed inside the
+    jitted step from the traced ``state.step`` (the explicit ``lr`` argument
+    then only serves host-driven ReduceLROnPlateau).  ``eval_step`` returns
+    raw (normalized) per-graph predictions as a device array; callers
+    accumulate metrics on device (examples/finetune_qm9.py) so eval loops do
+    no per-batch device->host transfer."""
 
     def loss_fn(params, batch: GraphBatch, y_norm, graph_mask):
         pred = model.apply({"params": params}, batch)
@@ -84,6 +88,8 @@ def make_regression_steps(
 
     @jax.jit
     def train_step(state: FinetuneState, batch: GraphBatch, y_norm, graph_mask, lr):
+        if schedule is not None:
+            lr = schedule(state.step)  # traced: no host round-trip per batch
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, batch, y_norm, graph_mask)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

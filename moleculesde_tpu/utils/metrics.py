@@ -33,6 +33,46 @@ def roc_auc_per_task(y_true: np.ndarray, y_scores: np.ndarray) -> List[float]:
     return aucs
 
 
+def roc_auc_mean_device(y_true, y_scores):
+    """On-device mean per-task ROC-AUC over {-1, 0, +1} masked labels.
+
+    jnp twin of :func:`roc_auc_per_task` (reference
+    examples/finetune_MoleculeNet.py:193-210) so finetune eval loops can stay
+    free of device->host transfers (the first D2H permanently degrades
+    dispatch latency on tunneled TPUs; see CLAUDE.md).  Uses the rank-sum
+    (Mann-Whitney U) formulation with midranks for ties — identical to
+    sklearn.metrics.roc_auc_score.
+
+    ``y_true``/``y_scores``: [M, T].  Returns (mean_auc, n_valid_tasks) as
+    device scalars; tasks lacking a positive or a negative example are
+    skipped, matching the reference.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def one_task(y, s):
+        valid = y != 0
+        pos = (y == 1)
+        neg = (y == -1)
+        # invalid rows get +inf scores: they sort to the top and never affect
+        # searchsorted counts for finite valid scores
+        s_v = jnp.where(valid, s, jnp.inf)
+        s_sorted = jnp.sort(s_v)
+        lt = jnp.searchsorted(s_sorted, s_v, side="left")
+        le = jnp.searchsorted(s_sorted, s_v, side="right")
+        midrank = (lt + le + 1).astype(jnp.float32) / 2.0
+        p = pos.sum().astype(jnp.float32)
+        n = neg.sum().astype(jnp.float32)
+        rank_sum = jnp.where(pos, midrank, 0.0).sum()
+        auc = (rank_sum - p * (p + 1) / 2) / jnp.maximum(p * n, 1.0)
+        ok = (p > 0) & (n > 0)
+        return jnp.where(ok, auc, 0.0), ok
+
+    aucs, oks = jax.vmap(one_task, in_axes=(1, 1))(y_true, y_scores)
+    n_ok = oks.sum()
+    return aucs.sum() / jnp.maximum(n_ok, 1), n_ok
+
+
 class MetricsLogger:
     """Append-only CSV logger + console passthrough."""
 

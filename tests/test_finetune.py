@@ -103,3 +103,44 @@ def test_lr_schedules():
     assert pc.update(1.0) == 1e-3
     assert pc.update(2.0) == 1e-3
     assert pc.update(2.0) == 5e-4  # second bad epoch triggers decay
+
+
+def test_roc_auc_mean_device_matches_sklearn():
+    """Device rank-sum AUC == sklearn on {-1, 0, +1} masked labels, including
+    ties and missing tasks (reference finetune_MoleculeNet.py:193-210)."""
+    from moleculesde_tpu.utils.metrics import roc_auc_mean_device
+
+    rng = np.random.default_rng(0)
+    y = rng.choice([-1.0, 0.0, 1.0], size=(64, 5))
+    y[:, 3] = np.abs(y[:, 3])  # task with no negatives -> skipped
+    s = rng.normal(size=(64, 5)).astype(np.float32)
+    s[:16, 0] = 0.5  # ties
+    auc_dev, n_ok = roc_auc_mean_device(jnp.asarray(y), jnp.asarray(s))
+    ref = roc_auc_per_task(y, s)
+    assert int(n_ok) == len(ref) == 4
+    np.testing.assert_allclose(float(auc_dev), np.mean(ref), atol=1e-6)
+
+
+def test_best_tracker_selects_max_and_min():
+    from moleculesde_tpu.finetune.common import make_best_tracker
+
+    init, update = make_best_tracker("max")
+    payload0 = {"p": jnp.asarray([1.0, 2.0]), "aux": jnp.asarray(10.0)}
+    best = update(init(payload0), jnp.asarray(0.3), payload0)
+    payload1 = {"p": jnp.asarray([3.0, 4.0]), "aux": jnp.asarray(20.0)}
+    best = update(best, jnp.asarray(0.7), payload1)
+    payload2 = {"p": jnp.asarray([5.0, 6.0]), "aux": jnp.asarray(30.0)}
+    best = update(best, jnp.asarray(0.5), payload2)
+    metric, payload, epoch, _ = jax.device_get(best)
+    assert float(metric) == pytest.approx(0.7)
+    assert int(epoch) == 2
+    np.testing.assert_allclose(payload["p"], [3.0, 4.0])
+
+    init, update = make_best_tracker("min")
+    best = update(init(payload0), jnp.asarray(5.0), payload0)
+    best = update(best, jnp.asarray(2.0), payload1)
+    best = update(best, jnp.asarray(3.0), payload2)
+    metric, payload, epoch, _ = jax.device_get(best)
+    assert -float(metric) == pytest.approx(2.0)
+    assert int(epoch) == 2
+    np.testing.assert_allclose(payload["aux"], 20.0)
