@@ -33,6 +33,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e (v5 lite) peak dense bf16 FLOP/s
+
+
 def measure_jax() -> dict:
     import jax
     import jax.numpy as jnp
@@ -53,6 +56,19 @@ def measure_jax() -> dict:
     t0 = time.time()
     models, state = create_pretrain_state(cfg, batch, key)
     step = make_pretrain_step(models, cfg)
+
+    # FLOPs of one full training step from the compiled program (no D2H).
+    # Same jit instance -> same HLO -> the XLA compile cache dedupes this
+    # against the execution compile below.
+    flops_per_step = 0.0
+    try:
+        cost = step.lower(state, batch, key, coeff).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+    except Exception as e:  # pragma: no cover - cost model availability
+        log(f"cost_analysis unavailable: {e}")
+
     state, metrics = step(state, batch, key, coeff)
     jax.block_until_ready(metrics["loss"])
     log(f"init+compile: {time.time() - t0:.1f}s")
@@ -70,7 +86,39 @@ def measure_jax() -> dict:
     jax.block_until_ready(metrics["loss"])
     dt = time.time() - t0
     mols_per_sec = BATCH * STEPS / dt
+    tflops = flops_per_step * STEPS / dt / 1e12
+    mfu = tflops * 1e12 / V5E_BF16_PEAK_FLOPS
     log(f"pretrain: {STEPS} steps in {dt:.2f}s -> {mols_per_sec:.1f} molecules/sec/chip")
+    log(f"flops/step: {flops_per_step:.3e} -> {tflops:.2f} TFLOP/s "
+        f"({100 * mfu:.1f}% of v5e bf16 peak)")
+
+    # batch-scaling point: the large-batch regime exercises the fused pair
+    # kernel / remat path (round-1 regression: 1024 was 3.7k mols/s)
+    big = int(os.environ.get("BENCH_BATCH_BIG", 1024))
+    big_mols_per_sec = 0.0
+    if big and big != BATCH:
+        batch_big = jax.device_put(
+            synthetic_batch(num_graphs=big, n_max=N_MAX, seed=2))
+        models_b, state_b = create_pretrain_state(cfg, batch_big, key)
+        step_b = make_pretrain_step(models_b, cfg)
+        try:
+            cost_b = step_b.lower(state_b, batch_big, key, coeff).compile(
+            ).cost_analysis()
+            if isinstance(cost_b, (list, tuple)):
+                cost_b = cost_b[0]
+            log(f"flops/step at batch {big}: {float(cost_b.get('flops', 0)):.3e}")
+        except Exception:
+            pass
+        state_b, m_b = step_b(state_b, batch_big, key, coeff)
+        jax.block_until_ready(m_b["loss"])
+        n_big = max(STEPS // 4, 10)
+        t0 = time.time()
+        for i in range(n_big):
+            state_b, m_b = step_b(state_b, batch_big, key, coeff)
+        jax.block_until_ready(m_b["loss"])
+        big_mols_per_sec = big * n_big / (time.time() - t0)
+        log(f"pretrain batch={big}: {big_mols_per_sec:.1f} molecules/sec/chip")
+        del state_b, m_b, batch_big
 
     # secondary: reverse-SDE PC sampler steps/sec (2D->3D, 64 clones)
     from moleculesde_tpu.models import SDEModel2Dto3D
@@ -103,7 +151,12 @@ def measure_jax() -> dict:
     jax.block_until_ready(metrics["loss"])
     post = BATCH * STEPS / (time.time() - t0)
     log(f"post-D2H (tunnel-degraded dispatch): {post:.1f} molecules/sec/chip")
-    return {"mols_per_sec": mols_per_sec, "sampler_steps_per_sec": sampler_sps}
+    return {"mols_per_sec": mols_per_sec,
+            "sampler_steps_per_sec": sampler_sps,
+            "batch_1024_mols_per_sec": big_mols_per_sec,
+            "flops_per_step": flops_per_step,
+            "tflops": tflops,
+            "mfu": mfu}
 
 
 def measure_baseline() -> float:
@@ -141,6 +194,11 @@ def main():
         "value": round(res["mols_per_sec"], 2),
         "unit": "molecules/sec",
         "vs_baseline": round(res["mols_per_sec"] / baseline, 2),
+        "batch_1024_mols_per_sec": round(res["batch_1024_mols_per_sec"], 2),
+        "sampler_pc_steps_per_sec": round(res["sampler_steps_per_sec"], 2),
+        "flops_per_step": res["flops_per_step"],
+        "tflops": round(res["tflops"], 3),
+        "mfu": round(res["mfu"], 4),
     }))
 
 

@@ -134,15 +134,30 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--end", type=int, default=100)
     parser.add_argument("--num_repeat_SDE_inference", type=int, default=10)
     parser.add_argument("--num_repeat_SDE_predict", type=int, default=1)
-    parser.add_argument("--min_sigma", type=float, default=0.0)
+    # steps_pos is the Langevin corrector's INNER step count, wired exactly
+    # like the reference inference scripts (reference
+    # pretrain_MoleculeSDE_inference_2D_to_3D_VE_VP.py:66 and 3D_to_2D l.83
+    # pass n_steps=args.steps_pos into the corrector)
     parser.add_argument("--steps_pos", type=int, default=100)
-    parser.add_argument("--step_lr_pos", type=float, default=0.0000015)
-    parser.add_argument("--clip", type=float, default=1000)
+    parser.add_argument("--step_lr_pos", type=float, default=0.0000015,
+                        help="accepted for reference-CLI parity; the PC "
+                             "samplers use the reference's SNR step rule "
+                             "(snr * ||z||/||grad||)^2 * 2 * alpha, which "
+                             "ignores step_lr (ref inference l.194-212)")
+    parser.add_argument("--min_sigma", dest="min_sigma", type=float,
+                        default=0.0,
+                        help="accepted for parity; unused by the PC "
+                             "samplers, as in the reference PC path")
+    parser.add_argument("--clip", type=float, default=1000,
+                        help="accepted for parity; the reference only uses "
+                             "clip in its (unshipped) MultiScaleLD path")
     parser.add_argument("--num_diffusion_timesteps_2Dto3D_inference", type=int, default=20)
     parser.add_argument("--num_diffusion_timesteps_3Dto2D_inference", type=int, default=20)
     parser.add_argument("--visualization_timesteps_interval", type=int, default=20)
     parser.add_argument("--data_path_2D_SDE", type=str, default="")
-    parser.add_argument("--corrector_steps", type=int, default=1)
+    parser.add_argument("--corrector_steps", type=int, default=None,
+                        help="override for the corrector inner-step count; "
+                             "defaults to --steps_pos (reference semantics)")
 
     # eval toggles (ref l.147-153)
     parser.add_argument("--eval_train", dest="eval_train", action="store_true")

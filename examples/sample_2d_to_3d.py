@@ -88,6 +88,10 @@ def main(argv=None):
                              init_batch, key, method=SDEModel2Dto3D.loss)
 
     sample_steps = args.num_diffusion_timesteps_2Dto3D_inference or n_steps
+    # corrector inner steps: --steps_pos, like the reference's
+    # LangevinCorrector(n_steps=args.steps_pos) (inference 2D->3D l.66)
+    corrector_steps = (args.corrector_steps if args.corrector_steps is not None
+                       else args.steps_pos)
 
     @jax.jit
     def generate(batch, key):
@@ -95,7 +99,7 @@ def main(argv=None):
             v2d, batch, deterministic=True, use_running_average=True)
         return sample_positions_pc(
             sde_model, v23, node_2d, batch, key,
-            n_steps=sample_steps, corrector_steps=args.corrector_steps)
+            n_steps=sample_steps, corrector_steps=corrector_steps)
 
     results = []
     for i, g in enumerate(graphs[args.start : args.end]):

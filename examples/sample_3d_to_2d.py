@@ -99,6 +99,10 @@ def main(argv=None):
                              method=SDEModel3Dto2D.loss)
 
     sample_steps = args.num_diffusion_timesteps_3Dto2D_inference or n_steps
+    # corrector inner steps: --steps_pos, like the reference's corrector
+    # construction n_steps=args.steps_pos (inference 3D->2D l.83)
+    corrector_steps = (args.corrector_steps if args.corrector_steps is not None
+                       else args.steps_pos)
 
     @jax.jit
     def generate(batch, key):
@@ -107,7 +111,7 @@ def main(argv=None):
             batch.num_graphs, batch.n_max)
         return sample_graph_pc(
             sde_model, v32, node_3d, batch, key,
-            n_steps=sample_steps, corrector_steps=args.corrector_steps)
+            n_steps=sample_steps, corrector_steps=corrector_steps)
 
     results = []
     for batch, n_real in loader:

@@ -62,6 +62,7 @@ def test_sample_2d_to_3d_cli(tmp_path):
     r = _run("sample_2d_to_3d.py", *COMMON, "--end=2",
              "--num_repeat_SDE_inference=2",
              "--num_diffusion_timesteps_2Dto3D_inference=4",
+             "--steps_pos=1",
              f"--output_model_dir={tmp_path}")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "conformers" in r.stdout
@@ -71,6 +72,7 @@ def test_sample_2d_to_3d_cli(tmp_path):
 def test_sample_3d_to_2d_cli(tmp_path):
     r = _run("sample_3d_to_2d.py", *COMMON, "--end=8",
              "--num_diffusion_timesteps_3Dto2D_inference=4",
+             "--steps_pos=1",
              f"--output_model_dir={tmp_path}")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "generated" in r.stdout
