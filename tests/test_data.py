@@ -224,3 +224,43 @@ def test_nx_roundtrip():
     orig = {tuple(sorted(p)) for p in zip(g["edge_index"][0], g["edge_index"][1])}
     rt = {tuple(sorted(p)) for p in zip(back["edge_index"][0], back["edge_index"][1])}
     assert orig == rt
+
+
+def test_loader_reports_drop_last_counts(capsys):
+    from moleculesde_tpu.data.loader import BucketedGraphLoader, GraphLoader
+    from moleculesde_tpu.data.synthetic import random_molecule
+
+    rng = np.random.default_rng(0)
+    graphs = [random_molecule(rng, 6, extend=False) for _ in range(10)]
+    loader = GraphLoader(graphs, batch_size=4, n_max=8, drop_last=True)
+    list(loader)
+    out = capsys.readouterr().out
+    assert "discards 2/10" in out
+    assert loader.last_epoch_dropped == 2
+
+    # bucketed: sub-loaders stay quiet, parent reports per-bucket counts
+    graphs = ([random_molecule(rng, 6, extend=False) for _ in range(5)]
+              + [random_molecule(rng, 12, extend=False) for _ in range(7)])
+    bloader = BucketedGraphLoader(graphs, batch_size=4, buckets=(8, 16))
+    list(bloader)
+    out = capsys.readouterr().out
+    assert "bucket 8: 1" in out and "bucket 16: 3" in out
+    assert out.count("discards") == 1
+
+
+def test_loader_warns_on_budget_truncation():
+    from moleculesde_tpu.data.loader import GraphLoader
+    from moleculesde_tpu.data.synthetic import random_molecule
+
+    rng = np.random.default_rng(1)
+    graphs = [random_molecule(rng, 12, extend=False) for _ in range(4)]
+    loader = GraphLoader(graphs, batch_size=4, n_max=8, e_max=64,
+                         shuffle=False, drop_last=False)
+    with pytest.warns(UserWarning, match="truncating molecules"):
+        batches = list(loader)
+    assert len(batches) == 1
+    # warned once only
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        list(loader)  # second epoch: no re-warn
