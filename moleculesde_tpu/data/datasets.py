@@ -201,35 +201,57 @@ def load_pcqm4mv2(
     max_molecules: Optional[int] = None,
     extend: bool = True,
     remove_center: bool = True,
-) -> List[Dict]:
+    packed: bool = True,
+):
     """Load the PCQM4Mv2 pretraining set from ``root/raw/data.csv.gz`` +
     ``root/raw/pcqm4m-v2-train.sdf`` (reference dataset_PCQM4Mv2.py:45-77).
-    Requires RDKit.  Each graph carries the HOMO-LUMO gap as y."""
-    import pandas as pd
+    Requires RDKit for the first pass.  Each graph carries the HOMO-LUMO gap
+    as y.
 
-    from rdkit import Chem
+    With ``packed`` (default), the one-off featurization streams into a
+    :class:`moleculesde_tpu.data.packed.PackedGraphs` flat-array cache under
+    ``root/packed_<variant>/`` (the TPU equivalent of the reference's
+    ``geometric_data_processed.pt`` collated blob) and reloads memory-mapped
+    in seconds — at 3.4M molecules a per-molecule dict list does not fit in
+    RAM.
+    """
 
-    from moleculesde_tpu.data.featurize import mol_to_graph_3d
+    def build():
+        import pandas as pd
 
-    raw = os.path.join(root, "raw")
-    df = pd.read_csv(os.path.join(raw, "data.csv.gz"))
-    gaps = df["homolumogap"].to_numpy()
+        from rdkit import Chem
 
-    suppl = Chem.SDMolSupplier(
-        os.path.join(raw, "pcqm4m-v2-train.sdf"), removeHs=False, sanitize=True)
-    graphs: List[Dict] = []
-    for i, mol in enumerate(suppl):
-        if max_molecules is not None and len(graphs) >= max_molecules:
-            break
-        if mol is None:
-            continue
-        try:
-            g = mol_to_graph_3d(mol, remove_center=remove_center, extend=extend)
-        except Exception:
-            continue
-        g["y"] = np.array([gaps[i]], dtype=np.float32)
-        graphs.append(g)
-    return graphs
+        from moleculesde_tpu.data.featurize import mol_to_graph_3d
+
+        raw = os.path.join(root, "raw")
+        df = pd.read_csv(os.path.join(raw, "data.csv.gz"))
+        gaps = df["homolumogap"].to_numpy()
+
+        suppl = Chem.SDMolSupplier(
+            os.path.join(raw, "pcqm4m-v2-train.sdf"), removeHs=False,
+            sanitize=True)
+        count = 0
+        for i, mol in enumerate(suppl):
+            if max_molecules is not None and count >= max_molecules:
+                break
+            if mol is None:
+                continue
+            try:
+                g = mol_to_graph_3d(mol, remove_center=remove_center,
+                                    extend=extend)
+            except Exception:
+                continue
+            g["y"] = np.array([gaps[i]], dtype=np.float32)
+            count += 1
+            yield g
+
+    if not packed:
+        return list(build())
+    from moleculesde_tpu.data.packed import pack_or_load
+
+    tag = f"packed_ext{int(extend)}" + (
+        f"_n{max_molecules}" if max_molecules else "")
+    return pack_or_load(os.path.join(root, tag), build)
 
 
 # -------------------------------------------------------------- MoleculeNet

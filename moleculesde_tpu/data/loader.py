@@ -39,7 +39,10 @@ class GraphLoader:
         rotation_transform: bool = False,
         quiet_drops: bool = False,
     ):
-        self.graphs = list(graphs)
+        # keep indexable datasets (e.g. data.packed.PackedGraphs memmaps)
+        # as-is; only materialize true iterators
+        self.graphs = (graphs if hasattr(graphs, "__getitem__")
+                       and hasattr(graphs, "__len__") else list(graphs))
         self.rotation_transform = rotation_transform
         self.batch_size = batch_size
         self.n_max = n_max
@@ -166,17 +169,23 @@ class BucketedGraphLoader:
     ):
         self.buckets = sorted(buckets)
         self.loaders = []
-        by_bucket: list = [[] for _ in self.buckets]
-        for g in graphs:
-            n = int(np.asarray(g["atom_feats"]).shape[0])
-            for i, b in enumerate(self.buckets):
-                if n <= b:
-                    by_bucket[i].append(g)
-                    break
-            else:
-                by_bucket[-1].append(g)  # clipped into the largest bucket
-        for b, gs in zip(self.buckets, by_bucket):
-            if not gs:
+        if not (hasattr(graphs, "__getitem__") and hasattr(graphs, "__len__")):
+            graphs = list(graphs)
+        # vectorized bucketing over atom counts; packed datasets expose the
+        # count array directly (no per-molecule dict materialization)
+        if hasattr(graphs, "num_atoms"):
+            counts = np.asarray(graphs.num_atoms)
+        else:
+            counts = np.array([np.asarray(g["atom_feats"]).shape[0]
+                               for g in graphs])
+        edges = np.asarray(self.buckets)
+        slot = np.searchsorted(edges, counts, side="left")
+        slot = np.minimum(slot, len(edges) - 1)  # clip into largest bucket
+        for i, b in enumerate(self.buckets):
+            idx = np.flatnonzero(slot == i)
+            gs = (graphs.subset(idx) if hasattr(graphs, "subset")
+                  else [graphs[j] for j in idx])
+            if len(gs) == 0:
                 self.loaders.append(None)
                 continue
             self.loaders.append(GraphLoader(
@@ -241,6 +250,8 @@ def device_prefetch(iterator, size: int = 2, put_fn=None):
 
 
 def max_atoms(graphs: Sequence[Dict]) -> int:
+    if hasattr(graphs, "num_atoms"):  # packed fast path
+        return int(np.asarray(graphs.num_atoms).max())
     return max(int(np.asarray(g["atom_feats"]).shape[0]) for g in graphs)
 
 
