@@ -184,6 +184,16 @@ def get_parser() -> argparse.ArgumentParser:
                         help="extended-edge budget (0 -> n_max^2)")
     parser.add_argument("--num_devices", type=int, default=0,
                         help="data-parallel mesh size (0 -> all devices)")
+    # multi-host data parallelism (jax.distributed; SURVEY.md section 2).
+    # On TPU pod slices all three auto-detect: just pass --distributed.
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed (multi-host DP)")
+    parser.add_argument("--dist_coordinator", type=str, default="",
+                        help="coordinator host:port (auto-detected on TPU)")
+    parser.add_argument("--dist_num_processes", type=int, default=0,
+                        help="number of processes (auto-detected on TPU)")
+    parser.add_argument("--dist_process_id", type=int, default=-1,
+                        help="this process's id (auto-detected on TPU)")
     parser.add_argument("--synthetic_molecules", type=int, default=0,
                         help="use N synthetic molecules instead of dataset files")
     parser.add_argument("--max_molecules", type=int, default=0,

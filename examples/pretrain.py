@@ -72,7 +72,27 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    # multi-host bring-up BEFORE any backend use (SURVEY.md section 2)
+    if args.distributed or args.dist_num_processes > 1:
+        from moleculesde_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            args.dist_coordinator or None,
+            args.dist_num_processes or None,
+            args.dist_process_id if args.dist_process_id >= 0 else None)
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} global devices")
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+
     graphs = load_graphs(args)
+    if n_proc > 1:
+        from moleculesde_tpu.parallel import shard_for_process
+
+        graphs = shard_for_process(graphs)
+        # --batch_size is the GLOBAL batch; each host loads its slice
+        assert args.batch_size % n_proc == 0, "--batch_size % processes != 0"
+        args.batch_size //= n_proc
     n_max = args.n_max or suggest_buckets(graphs)
     ext_e_max = args.ext_e_max or n_max * n_max
     if args.buckets:
@@ -123,15 +143,19 @@ def main(argv=None):
     init_batch, _ = next(iter(loader))
     models, state = create_pretrain_state(cfg, init_batch, key)
 
-    n_devices = args.num_devices or 1
-    if n_devices > 1:
+    n_devices = args.num_devices or (jax.device_count() if n_proc > 1 else 1)
+    if n_devices > 1 or n_proc > 1:
         from moleculesde_tpu.parallel import (
-            make_mesh, make_sharded_pretrain_step, replicate, shard_batch)
+            global_batch_putter, make_mesh, make_sharded_pretrain_step,
+            replicate, shard_batch)
 
         mesh = make_mesh(n_devices)
         state = replicate(state, mesh)
         step = make_sharded_pretrain_step(models, cfg, mesh)
-        prep = lambda b: shard_batch(b, mesh)
+        if n_proc > 1:
+            prep = global_batch_putter(mesh)  # local batch -> global jax.Array
+        else:
+            prep = lambda b: shard_batch(b, mesh)
     else:
         step = make_pretrain_step(models, cfg)
         prep = jax.device_put
@@ -182,7 +206,7 @@ def main(argv=None):
                 coeff_cl * accum["CL_loss"]
                 + args.SDE_coeff_generative_2Dto3D * accum["SDE_loss_2Dto3D"]
                 + args.SDE_coeff_generative_3Dto2D * accum["SDE_loss_3Dto2D"])
-            if temp_loss < optimal_loss and args.output_model_dir:
+            if temp_loss < optimal_loss and args.output_model_dir and is_main:
                 optimal_loss = temp_loss
                 print(f"save model with loss: {optimal_loss:.5f}")
                 save_pretrain_checkpoint(
@@ -203,7 +227,7 @@ def main(argv=None):
             profiling = False
             print(f"profiler trace written to {args.profile_dir}")
 
-    if args.output_model_dir:
+    if args.output_model_dir and is_main:
         save_pretrain_checkpoint(
             args.output_model_dir, jax.device_get(state.params),
             jax.device_get(state.batch_stats), best=False)

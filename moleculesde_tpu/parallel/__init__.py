@@ -1,8 +1,19 @@
 from moleculesde_tpu.parallel.mesh import (
+    global_batch_putter,
+    initialize_distributed,
     make_mesh,
-    shard_batch,
-    replicate,
     make_sharded_pretrain_step,
+    replicate,
+    shard_batch,
+    shard_for_process,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "make_sharded_pretrain_step"]
+__all__ = [
+    "global_batch_putter",
+    "initialize_distributed",
+    "make_mesh",
+    "make_sharded_pretrain_step",
+    "replicate",
+    "shard_batch",
+    "shard_for_process",
+]

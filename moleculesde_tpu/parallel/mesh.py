@@ -33,12 +33,106 @@ def make_mesh(
     n_devices: Optional[int] = None, axis_name: str = "data",
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    """1-D data-parallel mesh over the first ``n_devices`` devices.
+
+    In a multi-process run ``jax.devices()`` already spans every host's
+    chips, so the same constructor yields the global pod-slice mesh."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bring-up (SURVEY.md section 2: ``jax.distributed.initialize``
+    + per-host data sharding).  No-op for single-process runs; returns the
+    resulting process count.
+
+    On TPU pods the three arguments are auto-detected from the environment
+    and may be left None; on CPU/GPU clusters pass them explicitly
+    (``--dist_coordinator host:port --dist_num_processes N
+    --dist_process_id i``)."""
+    if num_processes is not None and num_processes <= 1:
+        return 1
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count()
+
+
+def shard_for_process(
+    graphs, process_index: Optional[int] = None,
+    process_count: Optional[int] = None, equalize: bool = True,
+):
+    """Deterministic per-host shard of a dataset: strided, disjoint, covering
+    (up to the equalizing truncation).
+
+    ``equalize`` trims every shard to the minimum shard size so all
+    processes execute the SAME number of (collective) training steps per
+    epoch — a multi-process GSPMD program deadlocks if one host runs out of
+    batches early.  Works on lists and on packed datasets (uses ``.subset``
+    index views, no dict materialization)."""
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_index is None:
+        process_index = jax.process_index()
+    n = len(graphs)
+    take = n // process_count if equalize else None
+    idx = np.arange(process_index, n, process_count)[:take]
+    if hasattr(graphs, "subset"):
+        return graphs.subset(idx)
+    return [graphs[int(i)] for i in idx]
+
+
+def global_batch_putter(mesh: Mesh, axis_name: str = "data") -> Callable:
+    """Returns ``put(local_batch) -> global GraphBatch`` assembling each
+    host's local padded batch into one batch-sharded global ``jax.Array``
+    per field (``jax.make_array_from_process_local_data``).
+
+    The flat node-major indexing of GraphBatch (node ``i`` of graph ``b`` at
+    ``b * n_max + i``) makes the global view a pure concatenation along axis
+    0 — except the edge endpoint arrays, whose flat indices must shift by
+    this host's node offset in the global batch.  Padded edges point at the
+    local base row; they are masked out by every consumer, so the shift is
+    harmless for them.  Single-process meshes take the same path (local ==
+    global), so tests and the driver dryrun exercise exactly the
+    production code."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    pid = jax.process_index()
+
+    def put(batch: GraphBatch) -> GraphBatch:
+        node_offset = pid * batch.num_nodes
+
+        def mk(x, offset=0):
+            x = np.asarray(x)
+            if offset:
+                x = x + np.asarray(offset, dtype=x.dtype)
+            return jax.make_array_from_process_local_data(sharding, x)
+
+        replaced = dict(
+            edge_src=mk(batch.edge_src, node_offset),
+            edge_dst=mk(batch.edge_dst, node_offset),
+            ext_src=mk(batch.ext_src, node_offset),
+            ext_dst=mk(batch.ext_dst, node_offset),
+            num_graphs=batch.num_graphs * jax.process_count(),
+        )
+        for name in ("atom_feats", "node_mask", "positions", "edge_feats",
+                     "edge_mask", "ext_attr", "ext_mask", "y", "forces"):
+            val = getattr(batch, name)
+            replaced[name] = mk(val) if val is not None else None
+        return batch.replace(**replaced)
+
+    return put
 
 
 def batch_spec(axis_name: str = "data") -> GraphBatch:
@@ -54,8 +148,16 @@ def shard_batch(batch: GraphBatch, mesh: Mesh, axis_name: str = "data") -> Graph
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-process: every host holds the identical full array (flax init is
+    PRNG/shape-deterministic), so the local data IS the global replicated
+    value and assembles via ``make_array_from_process_local_data``."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

@@ -26,3 +26,7 @@ try:
 except Exception:  # pragma: no cover - jax-internal API drift
     pass
 assert jax.devices()[0].platform == "cpu", "CPU test backend unavailable"
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")
