@@ -80,7 +80,8 @@ def main():
     edge_attr = jnp.zeros((b, n, n, 32))
     node_attr = jnp.zeros((b, n, 32))
     pair_mask = jnp.ones((b, n, n), bool)
-    basis = tuple(jnp.zeros((b, n, n, 3)) for _ in range(3))
+    basis = tuple(tuple(jnp.zeros((b, n, n)) for _ in range(3))
+                  for _ in range(3))
 
     def score_net_only(v):
         return model.apply(

@@ -27,8 +27,14 @@ def random_molecule(
     n_atoms: int,
     extend: bool = True,
     with_positions: bool = True,
+    geometric: bool = False,
 ) -> dict:
-    """A random chain-plus-chords molecule dict (both-direction bond lists)."""
+    """A random chain-plus-chords molecule dict (both-direction bond lists).
+
+    ``geometric=True`` lays the chain out as a random walk with ~1.5-length
+    bond steps (instead of i.i.d. Gaussian coordinates), giving conformers a
+    learnable graph->geometry relationship for overfit/quality studies
+    (benchmarks/quality.py)."""
     atom_feats = np.stack(
         [rng.integers(0, d, size=n_atoms) for d in ATOM_FEATURE_DIMS], axis=1
     ).astype(np.int32)
@@ -51,7 +57,12 @@ def random_molecule(
 
     g = {"atom_feats": atom_feats, "edge_index": edge_index, "edge_feats": edge_feats}
     if with_positions:
-        pos = rng.normal(size=(n_atoms, 3)).astype(np.float32) * 1.5
+        if geometric:
+            steps = rng.normal(size=(n_atoms, 3))
+            steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+            pos = np.cumsum(1.5 * steps, axis=0).astype(np.float32)
+        else:
+            pos = rng.normal(size=(n_atoms, 3)).astype(np.float32) * 1.5
         pos = pos - pos.mean(axis=0, keepdims=True)  # remove_center=True semantics
         g["positions"] = pos
     if extend:

@@ -71,34 +71,55 @@ def dense_frames(pos: jnp.ndarray):
     SDE_model_2D_to_3D.py:35-47 and the coefficient block l.162-178), indexed
     ``[b, s, d]`` to match edge (row=s, col=d).  NaN-safe on the diagonal and
     padded rows via sqrt guards.
+
+    TPU layout note: every 3-vector is kept as THREE separate ``[B, N, N]``
+    component arrays instead of one ``[B, N, N, 3]`` tensor.  With the 3 on
+    the minor axis the VPU pads 3 -> 128 lanes and the whole frame pipeline
+    runs at ~2% lane utilization (profiled at 3.3 ms for B=64, N=32 —
+    dominating the PC sampler); component-wise the minor dims are (N, N).
+
+    Returns ``(basis, coff_s, coff_d, pseudo_angle)`` where ``basis`` is a
+    3-tuple (diff, cross, vertical) of component triples ``(x, y, z)``,
+    ``coff_s``/``coff_d`` are component triples of frame coefficients, and
+    ``pseudo_angle`` is ``(sin, cos)``.
     """
-    p_s = pos[:, :, None, :]   # source (row)
-    p_d = pos[:, None, :, :]   # dest (col)
-    coord_diff = p_s - p_d
-    coord_cross = jnp.cross(jnp.broadcast_to(p_s, coord_diff.shape),
-                            jnp.broadcast_to(p_d, coord_diff.shape))
-    norm = _safe_norm(coord_diff) + EPSILON
-    coord_diff = coord_diff / norm
-    cross_norm = _safe_norm(coord_cross) + EPSILON
-    coord_cross = coord_cross / cross_norm
-    coord_vertical = jnp.cross(coord_diff, coord_cross)
+    comps = [pos[..., k] for k in range(3)]  # [B, N] each
+    ps = [c[:, :, None] for c in comps]      # source (row), broadcastable
+    pd = [c[:, None, :] for c in comps]      # dest (col)
 
-    def proj(r):  # project r (broadcast to pairs) onto the frame
-        return jnp.stack([
-            jnp.sum(coord_diff * r, -1),
-            jnp.abs(jnp.sum(coord_cross * r, -1)),  # reflection anti-symmetry
-            jnp.sum(coord_vertical * r, -1),
-        ], axis=-1)
+    diff = [s - d for s, d in zip(ps, pd)]
+    # cross(p_s, p_d) componentwise
+    cross = [ps[1] * pd[2] - ps[2] * pd[1],
+             ps[2] * pd[0] - ps[0] * pd[2],
+             ps[0] * pd[1] - ps[1] * pd[0]]
 
-    coff_s = proj(jnp.broadcast_to(p_s, coord_diff.shape))
-    coff_d = proj(jnp.broadcast_to(p_d, coord_diff.shape))
-    coff_mul = coff_s * coff_d
-    ns = _safe_norm(coff_s)
-    nd = _safe_norm(coff_d)
-    pseudo_cos = coff_mul.sum(-1, keepdims=True) / (ns + EPSILON) / (nd + EPSILON)
+    def _norm3(v):
+        return jnp.sqrt(v[0] ** 2 + v[1] ** 2 + v[2] ** 2 + _SQRT_GUARD)
+
+    dn = _norm3(diff) + EPSILON
+    diff = [v / dn for v in diff]
+    cn = _norm3(cross) + EPSILON
+    cross = [v / cn for v in cross]
+    vert = [diff[1] * cross[2] - diff[2] * cross[1],
+            diff[2] * cross[0] - diff[0] * cross[2],
+            diff[0] * cross[1] - diff[1] * cross[0]]
+
+    def proj(r):  # project r onto the frame -> 3 coefficient planes
+        return (
+            diff[0] * r[0] + diff[1] * r[1] + diff[2] * r[2],
+            # reflection anti-symmetry (ref l.359-360)
+            jnp.abs(cross[0] * r[0] + cross[1] * r[1] + cross[2] * r[2]),
+            vert[0] * r[0] + vert[1] * r[1] + vert[2] * r[2],
+        )
+
+    coff_s = proj(ps)
+    coff_d = proj(pd)
+    dot = sum(a * b for a, b in zip(coff_s, coff_d))
+    ns = _norm3(coff_s)
+    nd = _norm3(coff_d)
+    pseudo_cos = dot / (ns + EPSILON) / (nd + EPSILON)
     pseudo_sin = jnp.sqrt(jnp.clip(1.0 - pseudo_cos ** 2, 1e-12))
-    pseudo_angle = jnp.concatenate([pseudo_sin, pseudo_cos], axis=-1)
-    return (coord_diff, coord_cross, coord_vertical), coff_s, coff_d, pseudo_angle
+    return (diff, cross, vert), coff_s, coff_d, (pseudo_sin, pseudo_cos)
 
 
 class DenseGATLayer(nn.Module):
@@ -168,15 +189,20 @@ class EquivariantScoreNetwork(nn.Module):
     def __call__(self, node_attr, edge_attr, pair_mask, equivariant_basis,
                  deterministic: bool = True):
         """node_attr [B,N,H]; edge_attr [B,N,N,H]; pair_mask [B,N,N] bool;
-        basis tensors [B,N,N,3].  Returns gradient [B, N, 3]."""
-        coord_diff, coord_cross, coord_vertical = equivariant_basis
+        ``equivariant_basis`` is the component-structured (diff, cross,
+        vertical) triple from :func:`dense_frames` — each a 3-tuple of
+        [B, N, N] planes (see the layout note there).  Returns gradient
+        [B, N, 3]."""
+        basis = equivariant_basis  # ((dx,dy,dz), (cx,cy,cz), (vx,vy,vz))
         b, n, _ = node_attr.shape
         hiddens = []
         conv_input = node_attr
-        gradient = jnp.zeros((b, n, 3), dtype=node_attr.dtype)
+        grad_comps = [jnp.zeros((b, n), dtype=node_attr.dtype)
+                      for _ in range(3)]
 
         # per-dest valid-source counts for the EquiLayer mean (ref l.43-81)
-        count = jnp.maximum(pair_mask.sum(axis=1), 1)[..., None]
+        count = jnp.maximum(pair_mask.sum(axis=1), 1)
+        maskf = pair_mask.astype(node_attr.dtype)
 
         for module_idx in range(self.num_layers):
             for conv_idx in range(self.num_convs):
@@ -207,23 +233,28 @@ class EquivariantScoreNetwork(nn.Module):
             wo, bo = DenseParams(3, self.hidden_coff_dim,
                                  name=f"basis_out_{module_idx}")()
 
-            def coff_mix(node_f, edge_a, cd, cc, cv, wh, we, be, wo, bo):
+            def coff_mix(node_f, edge_a, basis, maskf, wh, we, be, wo, bo):
                 h_part = node_f @ wh
                 e_part = edge_a @ we + be
                 coff = jax.nn.silu(
                     h_part[:, :, None, :] + h_part[:, None, :, :] + e_part)
-                coff = coff @ wo + bo
-                return (coff[..., 0:1] * cd
-                        + coff[..., 1:2] * cc
-                        + coff[..., 2:3] * cv)  # [B, N, N, 3]
+                # dynamic coefficients with component-MAJOR layout [3,B,N,N]
+                # (a [..., 3]-minor dot output would run at 3/128 lanes)
+                c = jnp.einsum("bsdf,fc->cbsd", coff, wo) \
+                    + bo[:, None, None, None]
+                # mix the frame basis per component and mean over sources
+                return [
+                    ((c[0] * bx[0] + c[1] * bx[1] + c[2] * bx[2]) * maskf
+                     ).sum(axis=1)
+                    for bx in zip(*basis)  # (dx,cx,vx), (dy,cy,vy), (dz,cz,vz)
+                ]
 
-            basis_mix = jax.checkpoint(coff_mix)(
-                node_feature, edge_attr, coord_diff, coord_cross,
-                coord_vertical, wh, we, be, wo, bo)
-            basis_mix = basis_mix * pair_mask[..., None]
+            mixed = jax.checkpoint(coff_mix)(
+                node_feature, edge_attr, basis, maskf, wh, we, be, wo, bo)
             # EquiLayer(aggr="mean"): mean over sources s at destination d
-            gradient = gradient + basis_mix.sum(axis=1) / count
+            grad_comps = [g + m / count for g, m in zip(grad_comps, mixed)]
 
+        gradient = jnp.stack(grad_comps, axis=-1)  # [B, N, 3]
         return {"node_feature": node_feature, "gradient": gradient}
 
 
@@ -372,24 +403,28 @@ class SDEModel2Dto3D(nn.Module):
         pos3 = pos.reshape(b, n, 3)
 
         # --- equivariant frames + invariant coefficients -----------------------
-        basis, coff_s, coff_d, pseudo_angle = dense_frames(pos3)
+        basis, coff_s, coff_d, (pseudo_sin, pseudo_cos) = dense_frames(pos3)
 
         w_coff = jax.lax.stop_gradient(self.coff_fourier_W)  # frozen (ref GFP l.62)
 
         def coff_embed(coff):
             # embeds components 0 and 2 (component 1 is |.|-folded; ref l.111-118)
-            e0 = gaussian_fourier_projection(coff[..., 0:1], w_coff)
-            e2 = gaussian_fourier_projection(coff[..., 2:3], w_coff)
+            e0 = gaussian_fourier_projection(coff[0][..., None], w_coff)
+            e2 = gaussian_fourier_projection(coff[2][..., None], w_coff)
             return jnp.concatenate([e0, e2], axis=-1)
 
         embed_s = self.coff_mlp(coff_embed(coff_s))
         embed_d = self.coff_mlp(coff_embed(coff_d))
-        edge_embed = jnp.concatenate([pseudo_angle, embed_s, embed_d], axis=-1)
+        edge_embed = jnp.concatenate(
+            [pseudo_sin[..., None], pseudo_cos[..., None], embed_s, embed_d],
+            axis=-1)
         frame_inv = self.project(edge_embed)
 
         if self.variant == 2:
-            diff = pos3[:, :, None, :] - pos3[:, None, :, :]
-            dist = _safe_norm(diff)
+            # componentwise pair distances (minor dims (N, N), not 3)
+            sq = sum((pos3[..., k][:, :, None] - pos3[..., k][:, None, :]) ** 2
+                     for k in range(3))
+            dist = jnp.sqrt(sq + _SQRT_GUARD)[..., None]
             w_dist = jax.lax.stop_gradient(self.dist_fourier_W)
             dist_emb = gaussian_fourier_projection(dist, w_dist)
             dist_inv = self.input_mlp(dist_emb)
