@@ -41,6 +41,8 @@ def run_study(
     num_repeat: int = 8,
     sample_steps: int = 300,
     seed: int = 0,
+    sde_type_2dto3d: str = "VE",
+    sde_type_3dto2d: str = "VE",
     log=print,
 ):
     from moleculesde_tpu.data.loader import GraphLoader
@@ -64,6 +66,8 @@ def run_study(
 
     cfg = PretrainConfig(emb_dim=emb_dim, dropout_ratio=0.0,
                          cl_similarity_metric="EBM_node_dot_prod",
+                         sde_type_2dto3d=sde_type_2dto3d,
+                         sde_type_3dto2d=sde_type_3dto2d,
                          lr=1e-3)
     key = jax.random.PRNGKey(seed)
     init_batch, _ = next(iter(loader))
@@ -143,14 +147,25 @@ def run_study(
         return sample_graph_pc(sde32, v32, node_3d, batch, k,
                                n_steps=sample_steps)
 
-    def adjacency_auc(params):
+    def graph_recovery(params):
         from sklearn.metrics import roc_auc_score
 
-        _, _, _, adj_mean = jax.device_get(gen_graph(
+        _, _, x_mean, adj_mean = jax.device_get(gen_graph(
             params, jax.device_put(eval_batch), jax.random.PRNGKey(seed + 2)))
+        # node-class recovery: argmax of the sampled one-hot state vs true
+        # atomic-number class (chance ~1/119)
+        nmask_flat = np.asarray(eval_batch.node_mask).reshape(
+            len(eval_graphs), n_max)
+        z_true = np.asarray(eval_batch.atom_feats[:, 0]).reshape(
+            len(eval_graphs), n_max)
+        pred_z = np.nan_to_num(np.asarray(x_mean)).argmax(-1)
+        node_acc = float((pred_z[nmask_flat] == z_true[nmask_flat]).mean())
+        adj_mean = np.asarray(adj_mean)
+        nan_frac = float(np.mean(~np.isfinite(adj_mean)))
+        if nan_frac:
+            log(f"  adjacency chain divergence: {100 * nan_frac:.1f}% non-finite")
         # diverged chains (untrained model) -> uninformative scores, AUC ~0.5
-        adj_mean = np.nan_to_num(np.asarray(adj_mean), nan=0.0,
-                                 posinf=1e6, neginf=-1e6)
+        adj_mean = np.nan_to_num(adj_mean, nan=0.0, posinf=1e6, neginf=-1e6)
         ea = np.where(np.asarray(eval_batch.edge_mask),
                       np.asarray(eval_batch.edge_feats[:, 0]) + 1.0, 0.0)
         true_adj = np.zeros((len(eval_graphs), n_max, n_max))
@@ -162,16 +177,19 @@ def run_study(
         nmask = np.asarray(eval_batch.node_mask).reshape(len(eval_graphs), n_max)
         pair_valid = (nmask[:, :, None] & nmask[:, None, :]
                       & ~np.eye(n_max, dtype=bool)[None])
-        return float(roc_auc_score(true_adj[pair_valid].ravel(),
-                                   np.asarray(adj_mean)[pair_valid].ravel()))
+        auc = float(roc_auc_score(true_adj[pair_valid].ravel(),
+                                  np.asarray(adj_mean)[pair_valid].ravel()))
+        return auc, node_acc
 
     results = {}
     for name, (params, batch_stats) in (("untrained", untrained),
                                         ("trained", trained)):
         cov, mat = conformer_metrics(params, batch_stats)
-        auc = adjacency_auc(params)
-        results[name] = {"cov@0.5": cov, "mat": mat, "adj_auc": auc}
-        log(f"{name:10s} COV@0.5={cov:.3f}  MAT={mat:.3f}  adj AUC={auc:.3f}")
+        auc, node_acc = graph_recovery(params)
+        results[name] = {"cov@0.5": cov, "mat": mat, "adj_auc": auc,
+                         "node_acc": node_acc}
+        log(f"{name:10s} COV@0.5={cov:.3f}  MAT={mat:.3f}  "
+            f"adj AUC={auc:.3f}  node acc={node_acc:.3f}")
     return results
 
 
@@ -185,6 +203,8 @@ def main():
         eval_mols=int(os.environ.get("QUALITY_EVAL_MOLS", 16)),
         num_repeat=int(os.environ.get("QUALITY_REPEAT", 8)),
         sample_steps=int(os.environ.get("QUALITY_SAMPLE_STEPS", 300)),
+        sde_type_2dto3d=os.environ.get("QUALITY_SDE_2DTO3D", "VE"),
+        sde_type_3dto2d=os.environ.get("QUALITY_SDE_3DTO2D", "VE"),
     )
     print(json.dumps({"metric": "learning_quality", **{
         f"{k}_{m}": round(v, 4) for k, d in res.items() for m, v in d.items()
