@@ -124,7 +124,10 @@ def measure_jax() -> dict:
     from moleculesde_tpu.models import SDEModel2Dto3D
     from moleculesde_tpu.sampling import sample_positions_pc
 
-    sde_model = models["SDE_2Dto3D_model"]
+    # sampling runs the score pipeline in bf16 (bandwidth-bound; validated
+    # at <2% relative score error, same params) — the production default of
+    # examples/sample_2d_to_3d.py
+    sde_model = models["SDE_2Dto3D_model"].clone(score_dtype="bfloat16")
     v23 = {"params": state.params["SDE_2Dto3D_model"],
            "batch_stats": state.batch_stats["SDE_2Dto3D_model"]}
     sample_batch = synthetic_batch(num_graphs=64, n_max=N_MAX, seed=1)

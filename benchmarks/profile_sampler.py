@@ -53,8 +53,27 @@ def main():
     # full PC chain
     f_full = jax.jit(lambda v, r, k: sample_positions_pc(
         model, v, r, batch, k, n_steps=SCAN_STEPS))
-    dt = timeit("full PC scan", f_full, variables, node_2d, key)
-    print(f"  -> {SCAN_STEPS / dt:.1f} PC steps/sec")
+    dt = timeit("full PC scan (f32)", f_full, variables, node_2d, key)
+    print(f"  -> {SCAN_STEPS / dt:.1f} PC steps/sec", flush=True)
+
+    model_bf16 = model.clone(score_dtype="bfloat16")
+    f_bf16 = jax.jit(lambda v, r, k: sample_positions_pc(
+        model_bf16, v, r, batch, k, n_steps=SCAN_STEPS, fused=False))
+    dt = timeit("full PC scan (bf16 score path)", f_bf16, variables, node_2d,
+                key)
+    print(f"  -> {SCAN_STEPS / dt:.1f} PC steps/sec", flush=True)
+
+    f_fused = jax.jit(lambda v, r, k: sample_positions_pc(
+        model, v, r, batch, k, n_steps=SCAN_STEPS, fused=True))
+    dt = timeit("full PC scan (fused kernel, f32)", f_fused, variables,
+                node_2d, key)
+    print(f"  -> {SCAN_STEPS / dt:.1f} PC steps/sec", flush=True)
+
+    f_fused16 = jax.jit(lambda v, r, k: sample_positions_pc(
+        model_bf16, v, r, batch, k, n_steps=SCAN_STEPS, fused=True))
+    dt = timeit("full PC scan (fused kernel, bf16)", f_fused16, variables,
+                node_2d, key)
+    print(f"  -> {SCAN_STEPS / dt:.1f} PC steps/sec", flush=True)
 
     # conditioning precompute (once per chain)
     f_cond = jax.jit(lambda v, r: model.apply(
@@ -68,6 +87,13 @@ def main():
     f_score = jax.jit(lambda v, c, p: model.apply(
         v, c, batch, p, method=SDEModel2Dto3D.score_from_cond))
     timeit("score_from_cond (1 eval)", f_score, variables, cond, pos)
+    f_scoref = jax.jit(lambda v, c, p: model.apply(
+        v, c, batch, p, method=SDEModel2Dto3D.score_from_cond_fused))
+    timeit("score_from_cond_fused (1 eval)", f_scoref, variables, cond, pos)
+    f_scoref16 = jax.jit(lambda v, c, p: model_bf16.apply(
+        v, c, batch, p, method=SDEModel2Dto3D.score_from_cond_fused))
+    timeit("score_from_cond_fused bf16 (1 eval)", f_scoref16, variables, cond,
+           pos)
 
     # frames + invariant features only
     from moleculesde_tpu.models.score_2d3d import dense_frames

@@ -65,7 +65,8 @@ def main(argv=None):
         emb_dim=args.emb_dim, hidden_dim=32,
         variant=MODEL_2DTO3D_VARIANTS[args.SDE_2Dto3D_model], sde_type=t23,
         beta_min=bmin, beta_max=bmax, num_diffusion_timesteps=n_steps,
-        use_extend_graph=args.use_extend_graph)
+        use_extend_graph=args.use_extend_graph,
+        score_dtype=args.sampler_precision)
 
     key = jax.random.PRNGKey(args.seed)
     n_max = args.n_max

@@ -33,13 +33,15 @@ class MLP(nn.Module):
     hidden_dims: Sequence[int]
     activation: str = "relu"
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         act = ACTIVATIONS[self.activation]
         n = len(self.hidden_dims)
         for i, dim in enumerate(self.hidden_dims):
-            x = nn.Dense(dim, kernel_init=xavier_uniform, bias_init=zeros_init)(x)
+            x = nn.Dense(dim, kernel_init=xavier_uniform, bias_init=zeros_init,
+                         dtype=self.dtype)(x)
             if i < n - 1:
                 x = act(x)
                 if self.dropout > 0:

@@ -129,46 +129,58 @@ class DenseGATLayer(nn.Module):
     PyG TransformerConv semantics: logits = q_d . (k_s + e_sd) / sqrt(c),
     softmax over sources s for each destination d, messages (v_s + e_sd) *
     alpha summed at d, heads concatenated, plus a root-skip linear.
+
+    ``dtype=bfloat16`` halves the HBM traffic of the pair-resident tensors
+    (the sampling hot path is bandwidth-bound); softmax stays in f32.
     """
 
     hidden_dim: int
     n_head: int
     dropout: float = 0.2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, edge_attr, pair_mask, deterministic: bool = True):
         h, c = self.n_head, self.hidden_dim // self.n_head
         b, n, _ = x.shape
-        q = nn.Dense(h * c, kernel_init=xavier_uniform, name="lin_query")(x)
-        k = nn.Dense(h * c, kernel_init=xavier_uniform, name="lin_key")(x)
-        v = nn.Dense(h * c, kernel_init=xavier_uniform, name="lin_value")(x)
-        e = nn.Dense(h * c, kernel_init=xavier_uniform, name="lin_edge")(edge_attr)
+
+        def dense(feat, name=None):
+            return nn.Dense(feat, kernel_init=xavier_uniform, name=name,
+                            dtype=self.dtype)
+
+        q = dense(h * c, "lin_query")(x)
+        k = dense(h * c, "lin_key")(x)
+        v = dense(h * c, "lin_value")(x)
+        e = dense(h * c, "lin_edge")(edge_attr)
         q = q.reshape(b, n, h, c)
         k = k.reshape(b, n, h, c)
         v = v.reshape(b, n, h, c)
         e = e.reshape(b, n, n, h, c)
 
-        # logits[b, h, s, d] = q_d . k_s + q_d . e_sd
-        logits = jnp.einsum("bdhc,bshc->bhsd", q, k)
-        logits = logits + jnp.einsum("bdhc,bsdhc->bhsd", q, e)
+        # logits[b, h, s, d] = q_d . k_s + q_d . e_sd  (f32 for the softmax;
+        # CPU XLA lacks bf16xbf16->f32 dots, so upcast after the einsum)
+        logits = jnp.einsum("bdhc,bshc->bhsd", q, k).astype(jnp.float32)
+        logits = logits + jnp.einsum("bdhc,bsdhc->bhsd", q, e
+                                     ).astype(jnp.float32)
         logits = logits / jnp.sqrt(float(c))
         neg = jnp.finfo(logits.dtype).min
         logits = jnp.where(pair_mask[:, None, :, :], logits, neg)
-        alpha = jax.nn.softmax(logits, axis=2)  # over sources s
+        alpha = jax.nn.softmax(logits, axis=2)  # over sources s (f32)
         alpha = alpha * pair_mask[:, None, :, :]  # isolated dests -> all-zero rows
         alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
+        alpha = alpha.astype(v.dtype)
 
         out = jnp.einsum("bhsd,bshc->bdhc", alpha, v)
         out = out + jnp.einsum("bhsd,bsdhc->bdhc", alpha, e)
         out = out.reshape(b, n, h * c)
-        mha = out + nn.Dense(h * c, kernel_init=xavier_uniform, name="lin_skip")(x)
+        mha = out + dense(h * c, "lin_skip")(x)
 
-        x = x + nn.LayerNorm()(mha)
-        ffn = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform)(x)
+        x = x + nn.LayerNorm(dtype=self.dtype)(mha)
+        ffn = dense(self.hidden_dim)(x)
         ffn = nn.silu(ffn)
         ffn = nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        ffn = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform)(ffn)
-        x = x + nn.LayerNorm()(ffn)
+        ffn = dense(self.hidden_dim)(ffn)
+        x = x + nn.LayerNorm(dtype=self.dtype)(ffn)
         return x
 
 
@@ -184,6 +196,7 @@ class EquivariantScoreNetwork(nn.Module):
     dropout: float = 0.1
     short_cut: bool = False
     concat_hidden: bool = False
+    dtype: Optional[jnp.dtype] = None  # bf16 halves pair-tensor HBM traffic
 
     @nn.compact
     def __call__(self, node_attr, edge_attr, pair_mask, equivariant_basis,
@@ -206,7 +219,8 @@ class EquivariantScoreNetwork(nn.Module):
 
         for module_idx in range(self.num_layers):
             for conv_idx in range(self.num_convs):
-                hidden = DenseGATLayer(self.hidden_dim, self.n_head, self.dropout)(
+                hidden = DenseGATLayer(self.hidden_dim, self.n_head,
+                                       self.dropout, dtype=self.dtype)(
                     conv_input, edge_attr, pair_mask, deterministic)
                 if conv_idx < self.num_convs - 1:
                     hidden = nn.silu(hidden)
@@ -234,13 +248,15 @@ class EquivariantScoreNetwork(nn.Module):
                                  name=f"basis_out_{module_idx}")()
 
             def coff_mix(node_f, edge_a, basis, maskf, wh, we, be, wo, bo):
-                h_part = node_f @ wh
-                e_part = edge_a @ we + be
+                dt = self.dtype or node_f.dtype
+                h_part = node_f.astype(dt) @ wh.astype(dt)
+                e_part = edge_a.astype(dt) @ we.astype(dt) + be.astype(dt)
                 coff = jax.nn.silu(
                     h_part[:, :, None, :] + h_part[:, None, :, :] + e_part)
                 # dynamic coefficients with component-MAJOR layout [3,B,N,N]
                 # (a [..., 3]-minor dot output would run at 3/128 lanes)
-                c = jnp.einsum("bsdf,fc->cbsd", coff, wo) \
+                c = jnp.einsum("bsdf,fc->cbsd", coff, wo.astype(dt)
+                               ).astype(jnp.float32) \
                     + bo[:, None, None, None]
                 # mix the frame basis per component and mean over sources
                 return [
@@ -286,6 +302,12 @@ class SDEModel2Dto3D(nn.Module):
     # (ops/pair_block.py: never materializes [B, N, N, emb]), checkpointed XLA
     # elsewhere; "xla" / "pallas" / "pallas_interpret" force one.
     pair_impl: str = "auto"
+    # compute dtype of the invariant-feature/score-network pipeline.
+    # "bfloat16" halves pair-tensor HBM traffic (the sampling chain is
+    # bandwidth-bound); frame geometry, softmax and the equivariant mixing
+    # stay f32.  Same params either way — sampler CLIs opt in via
+    # model.clone(score_dtype="bfloat16") without touching checkpoints.
+    score_dtype: str = "float32"
 
     @property
     def sde_pos(self) -> SDE:
@@ -307,18 +329,20 @@ class SDEModel2Dto3D(nn.Module):
                 "edge_2D_emb_bias", zeros_init, (h,))
         if self.variant in (3, 4):
             self.edge_emb = nn.Embed(100, h, embedding_init=xavier_uniform)
+        dt = jnp.bfloat16 if self.score_dtype == "bfloat16" else None
         self.coff_fourier_W = self.param(
             "coff_fourier_W", nn.initializers.normal(1.0), (h,))
-        self.coff_mlp = nn.Dense(h, kernel_init=xavier_uniform)
-        self.project = MLP([h, h], activation="silu")
+        self.coff_mlp = nn.Dense(h, kernel_init=xavier_uniform, dtype=dt)
+        self.project = MLP([h, h], activation="silu", dtype=dt)
         if self.variant == 2:
             self.dist_fourier_W = self.param(
                 "dist_fourier_W", nn.initializers.normal(1.0), (h,))
-            self.input_mlp = MLP([h], activation="silu")
-        self.node_emb = MLP([h], activation="silu")
+            self.input_mlp = MLP([h], activation="silu", dtype=dt)
+        self.node_emb = MLP([h], activation="silu", dtype=dt)
         self.score_network = EquivariantScoreNetwork(
             hidden_dim=h, hidden_coff_dim=128,
-            short_cut=self.short_cut, concat_hidden=self.concat_hidden)
+            short_cut=self.short_cut, concat_hidden=self.concat_hidden,
+            dtype=dt)
 
     def _pair_mask_attr(self, batch: GraphBatch):
         """Dense [B, N, N] extended-adjacency mask + bond-type labels,
@@ -436,6 +460,33 @@ class SDEModel2Dto3D(nn.Module):
         out = self.score_network(
             cond["node_attr"], edge_attr, pair_mask, basis, deterministic)
         return out["gradient"].reshape(b * n, 3)
+
+    def score_from_cond_fused(
+        self,
+        cond: Dict[str, jnp.ndarray],
+        batch: GraphBatch,
+        pos: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Position-dependent half as ONE fused Pallas kernel
+        (ops/score_kernel.py): frames + Fourier features + 4 GAT layers +
+        basis mixing, VMEM-resident per molecule tile.  Forward-only —
+        samplers use it (they never differentiate the score); training and
+        autodiff go through :meth:`score_from_cond`."""
+        from moleculesde_tpu.ops.score_kernel import (
+            pack_score_params, score_eval_fused)
+
+        if self.short_cut or self.concat_hidden:
+            return self.score_from_cond(cond, batch, pos, True)
+        b, n = batch.num_graphs, batch.n_max
+        kvariant = 2 if self.variant == 2 else 1
+        packed = pack_score_params(self.variables["params"], kvariant)
+        out = score_eval_fused(
+            pos.reshape(b, n, 3), cond["node_attr"],
+            cond["edge_attr_2d"].astype(jnp.float32), cond["pair_mask"],
+            packed, variant=kvariant,
+            bf16=(self.score_dtype == "bfloat16"),
+            interpret=(jax.default_backend() != "tpu"))
+        return out.reshape(b * n, 3)
 
     def _score_output(
         self,

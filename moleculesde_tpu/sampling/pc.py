@@ -65,11 +65,19 @@ def sample_positions_pc(
     eps: float = 1e-4,
     denoise: bool = True,
     probability_flow: bool = False,
+    fused: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Generate 3D conformers from 2D graphs with PC sampling.
 
     Returns positions ``[N_nodes, 3]`` (the ``x_mean`` of the final predictor
     step when ``denoise``, matching reference l.135-138).
+
+    ``fused`` selects the fully-fused Pallas score kernel
+    (ops/score_kernel.py).  Default OFF: at the flagship sizes (H=32,
+    c_head=4) the chain is many tiny ops, and measured on v5e the XLA
+    bf16 path (model.clone(score_dtype="bfloat16")) is the fastest
+    configuration (494 vs 244 PC steps/s); the kernel is kept as a
+    validated building block for larger score networks.
     """
     sde = model.sde_pos
     diff_steps = n_steps if n_steps is not None else sde.N
@@ -88,9 +96,13 @@ def sample_positions_pc(
     cond = model.apply(variables, node_2d_repr, batch, True,
                        method=SDEModel2Dto3D.precompute_conditioning)
 
+    if fused is None:
+        fused = False
+    score_method = (SDEModel2Dto3D.score_from_cond_fused if fused
+                    else SDEModel2Dto3D.score_from_cond)
+
     def get_score(pos, t_nodes):
-        raw = model.apply(variables, cond, batch, pos,
-                          method=SDEModel2Dto3D.score_from_cond)
+        raw = model.apply(variables, cond, batch, pos, method=score_method)
         _, std = sde.marginal_prob(pos, t_nodes)
         return -raw / std[:, None]
 

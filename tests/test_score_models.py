@@ -154,3 +154,31 @@ def test_3d2d_grads_finite(batch):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def test_score_dtype_bf16_close_to_f32():
+    """The bf16 sampling path (score_dtype="bfloat16", same params) stays
+    within ~2% relative error of the f32 score — the documented contract of
+    --sampler_precision=bfloat16."""
+    import numpy as np
+
+    from moleculesde_tpu.data.synthetic import synthetic_batch
+
+    batch = synthetic_batch(num_graphs=4, n_max=8, seed=0)
+    key = jax.random.PRNGKey(0)
+    emb = 16
+    node_2d = jax.random.normal(key, (batch.num_nodes, emb))
+    m32 = SDEModel2Dto3D(emb_dim=emb, hidden_dim=8, variant=2)
+    v = m32.init({"params": key, "dropout": key}, node_2d, batch, key,
+                 method=SDEModel2Dto3D.loss)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    m16 = m32.clone(score_dtype="bfloat16")
+    pos = batch.positions + 0.1
+    t = jnp.full((batch.num_nodes,), 0.5)
+    s32 = np.asarray(m32.apply(v, node_2d, batch, pos, t,
+                               method=SDEModel2Dto3D.get_score))
+    s16 = np.asarray(m16.apply(v, node_2d, batch, pos, t,
+                               method=SDEModel2Dto3D.get_score))
+    assert s16.dtype == np.float32
+    rel = np.abs(s16 - s32).max() / (np.abs(s32).max() + 1e-9)
+    assert rel < 0.05, rel
