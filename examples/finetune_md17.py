@@ -179,7 +179,8 @@ def main(argv=None):
             "test_energy_mae": test_e, "test_force_mae": test_f}))
 
         if epoch % max(args.print_every_epoch, 1) == 0 or epoch == args.epochs:
-            for ep, m in jax.device_get(pending):
+            from moleculesde_tpu.utils.metrics import device_get_compact
+            for ep, m in device_get_compact(pending):
                 logger.log(ep, m, echo=(
                     f"Epoch: {ep}\tLoss: {m['loss']:.5f}\t"
                     f"val E MAE: {m['val_energy_mae']:.5f}\t"

@@ -165,7 +165,8 @@ def main(argv=None):
                                 "val_auc": val_auc, "test_auc": test_auc}))
 
         if epoch % max(args.print_every_epoch, 1) == 0 or epoch == args.epochs:
-            for ep, m in jax.device_get(pending):
+            from moleculesde_tpu.utils.metrics import device_get_compact
+            for ep, m in device_get_compact(pending):
                 logger.log(ep, m,
                            echo=f"train: {m['train_auc']:.6f}\t"
                                 f"val: {m['val_auc']:.6f}\t"

@@ -191,7 +191,8 @@ def main(argv=None):
                                 "val_mae": val_mae, "test_mae": test_mae}))
 
         if epoch % max(args.print_every_epoch, 1) == 0 or epoch == args.epochs:
-            for ep, m in jax.device_get(pending):
+            from moleculesde_tpu.utils.metrics import device_get_compact
+            for ep, m in device_get_compact(pending):
                 logger.log(ep, m,
                            echo=f"Epoch: {ep}\nLoss: {m['loss']}\n"
                                 f"val: {m['val_mae']:.6f}\ttest: {m['test_mae']:.6f}")

@@ -199,8 +199,9 @@ def main(argv=None):
         # per-program dispatch latency (see CLAUDE.md), so sparse syncs keep
         # the training loop single-program-per-step.
         if epoch % max(args.print_every_epoch, 1) == 0 or epoch == args.epochs:
+            from moleculesde_tpu.utils.metrics import device_get_compact
             accum = {k: float(v) / max(n_batches, 1)
-                     for k, v in zip(keys, jax.device_get(accum_dev))}
+                     for k, v in zip(keys, device_get_compact(accum_dev))}
 
             temp_loss = (
                 coeff_cl * accum["CL_loss"]

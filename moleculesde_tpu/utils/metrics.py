@@ -73,6 +73,33 @@ def roc_auc_mean_device(y_true, y_scores):
     return aucs.sum() / jnp.maximum(n_ok, 1), n_ok
 
 
+def device_get_compact(tree):
+    """``jax.device_get`` with ONE device->host transfer for scalar pytrees.
+
+    On this image's tunneled TPU each D2H transfer costs seconds once
+    dispatch is in the degraded regime; pulling an epoch's pending metrics
+    leaf-by-leaf multiplies that.  When every array leaf is a scalar they are
+    stacked into a single device vector first (one small program + one
+    transfer); otherwise falls back to plain device_get."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arr_idx = [i for i, l in enumerate(leaves)
+               if hasattr(l, "shape") and hasattr(l, "dtype")]
+    if arr_idx and all(leaves[i].shape == () for i in arr_idx):
+        stacked = jnp.stack(
+            [leaves[i].astype(jnp.float64
+                              if leaves[i].dtype == jnp.float64
+                              else jnp.float32) for i in arr_idx])
+        vals = np.asarray(jax.device_get(stacked))
+        out = list(leaves)
+        for j, i in enumerate(arr_idx):
+            out[i] = vals[j]
+        return jax.tree_util.tree_unflatten(treedef, out)
+    return jax.device_get(tree)
+
+
 class MetricsLogger:
     """Append-only CSV logger + console passthrough."""
 
