@@ -1,6 +1,8 @@
 """One-off PCQM4Mv2 preprocessing trigger (reference
-examples/generate_PCQM4Mv2.py): featurize the raw CSV+SDF into graph dicts
-and cache them as an npz-of-object archive for fast reload.
+examples/generate_PCQM4Mv2.py): featurize the raw CSV+SDF into the packed
+flat-array cache (data/packed.py) that every consumer reloads memory-mapped
+in seconds — the TPU equivalent of the reference's collated
+``geometric_data_processed.pt`` blob (dataset_PCQM4Mv2.py:45-77).
 
 Example:
   python examples/generate_pcqm4mv2.py --input_data_dir=/data --dataset=PCQM4Mv2
@@ -9,7 +11,6 @@ Example:
 from __future__ import annotations
 
 import os
-import pickle
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -24,12 +25,9 @@ def main(argv=None):
     root = os.path.join(args.input_data_dir, args.dataset or "PCQM4Mv2")
     graphs = load_pcqm4mv2(root, max_molecules=args.max_molecules or None,
                            extend=args.use_extend_graph)
-    processed = os.path.join(root, "processed")
-    os.makedirs(processed, exist_ok=True)
-    out = os.path.join(processed, "graphs.pkl")
-    with open(out, "wb") as f:
-        pickle.dump(graphs, f)
-    print(f"processed {len(graphs)} molecules -> {out}")
+    size_gb = graphs.nbytes() / 1e9
+    print(f"processed {len(graphs)} molecules into the packed cache under "
+          f"{root} ({size_gb:.2f} GB of flat arrays, memory-mapped on reload)")
 
 
 if __name__ == "__main__":

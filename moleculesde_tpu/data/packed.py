@@ -153,7 +153,9 @@ class PackedGraphs:
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self.arrays.values())
 
-    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return self.subset(np.arange(self._n)[i])
         if not 0 <= i < self._n:
             raise IndexError(i)
         a = self.arrays
@@ -189,7 +191,9 @@ class PackedSubset:
     def __len__(self) -> int:
         return len(self.indices)
 
-    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return PackedSubset(self.packed, self.indices[i])
         return self.packed[int(self.indices[i])]
 
     @property

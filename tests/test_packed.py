@@ -105,3 +105,15 @@ def test_packed_md17_fields():
     packed = PackedGraphs.from_graphs(graphs)
     np.testing.assert_allclose(packed[2]["forces"], graphs[2]["forces"])
     assert "ext_edge_index" not in packed.arrays or True
+
+
+def test_packed_slicing():
+    graphs = _graphs(10)
+    packed = PackedGraphs.from_graphs(graphs)
+    view = packed[2:7]
+    assert len(view) == 5
+    np.testing.assert_array_equal(view[0]["atom_feats"],
+                                  graphs[2]["atom_feats"])
+    sub = view[1:3]
+    np.testing.assert_array_equal(sub[0]["atom_feats"],
+                                  graphs[3]["atom_feats"])
