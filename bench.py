@@ -24,16 +24,31 @@ BATCH = int(os.environ.get("BENCH_BATCH", 256))
 N_MAX = int(os.environ.get("BENCH_NMAX", 32))
 EMB = int(os.environ.get("BENCH_EMB", 300))
 STEPS = int(os.environ.get("BENCH_STEPS", 100))
-# this host has a single CPU core: keep the (cache-miss-only) torch baseline
-# measurement short
-TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", 1))
+# measured once then cached in benchmarks/baseline_cpu.json (single-core host)
+TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", 10))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e (v5 lite) peak dense bf16 FLOP/s
+def peak_flops(device) -> float:
+    """Dense bf16 peak FLOP/s for the device actually benched, or 0.0 when
+    unknown (MFU is then omitted — a v5e constant is meaningless on CPU)."""
+    override = os.environ.get("BENCH_PEAK_TFLOPS")
+    if override:
+        return float(override) * 1e12
+    kind = getattr(device, "device_kind", "").lower()
+    table = {  # public peak numbers per chip
+        "v5 lite": 197e12, "v5e": 197e12,
+        "v5p": 459e12, "v5": 459e12,
+        "v4": 275e12,
+        "v6 lite": 918e12, "v6e": 918e12,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 0.0
 
 
 def measure_jax() -> dict:
@@ -69,6 +84,16 @@ def measure_jax() -> dict:
     except Exception as e:  # pragma: no cover - cost model availability
         log(f"cost_analysis unavailable: {e}")
 
+    # Analytic matmul FLOPs from the staged jaxpr (fwd+bwd+remat recompute as
+    # executed; elementwise excluded).  Lower-bounds the executed FLOPs where
+    # cost_analysis upper-bounds them — the two bracket the true MFU.
+    flops_analytic = 0.0
+    try:
+        from moleculesde_tpu.utils.flops import matmul_flops
+        flops_analytic = float(matmul_flops(step, state, batch, key, coeff))
+    except Exception as e:  # pragma: no cover
+        log(f"analytic flops unavailable: {e}")
+
     state, metrics = step(state, batch, key, coeff)
     jax.block_until_ready(metrics["loss"])
     log(f"init+compile: {time.time() - t0:.1f}s")
@@ -86,27 +111,41 @@ def measure_jax() -> dict:
     jax.block_until_ready(metrics["loss"])
     dt = time.time() - t0
     mols_per_sec = BATCH * STEPS / dt
-    tflops = flops_per_step * STEPS / dt / 1e12
-    mfu = tflops * 1e12 / V5E_BF16_PEAK_FLOPS
+    step_time = dt / STEPS
+    peak = peak_flops(jax.devices()[0])
+    tflops = flops_per_step / step_time / 1e12
+    tflops_analytic = flops_analytic / step_time / 1e12
+    mfu = tflops * 1e12 / peak if peak else 0.0
+    mfu_analytic = tflops_analytic * 1e12 / peak if peak else 0.0
     log(f"pretrain: {STEPS} steps in {dt:.2f}s -> {mols_per_sec:.1f} molecules/sec/chip")
-    log(f"flops/step: {flops_per_step:.3e} -> {tflops:.2f} TFLOP/s "
-        f"({100 * mfu:.1f}% of v5e bf16 peak)")
+    log(f"flops/step: cost_analysis {flops_per_step:.3e} (upper bound), "
+        f"analytic matmul {flops_analytic:.3e} (lower bound)")
+    if peak:
+        log(f"TFLOP/s: {tflops:.2f} by cost_analysis ({100 * mfu:.1f}% of "
+            f"{peak / 1e12:.0f} TFLOP/s peak), {tflops_analytic:.2f} analytic "
+            f"({100 * mfu_analytic:.1f}%) — truth is between the two")
+    else:
+        log(f"TFLOP/s: {tflops:.2f} by cost_analysis, {tflops_analytic:.2f} "
+            f"analytic (no peak known for this backend; MFU omitted)")
 
     # batch-scaling point: the large-batch regime exercises the fused pair
     # kernel / remat path (round-1 regression: 1024 was 3.7k mols/s)
     big = int(os.environ.get("BENCH_BATCH_BIG", 1024))
     big_mols_per_sec = 0.0
+    big_tflops = 0.0
     if big and big != BATCH:
         batch_big = jax.device_put(
             synthetic_batch(num_graphs=big, n_max=N_MAX, seed=2))
         models_b, state_b = create_pretrain_state(cfg, batch_big, key)
         step_b = make_pretrain_step(models_b, cfg)
+        flops_big = 0.0
         try:
             cost_b = step_b.lower(state_b, batch_big, key, coeff).compile(
             ).cost_analysis()
             if isinstance(cost_b, (list, tuple)):
                 cost_b = cost_b[0]
-            log(f"flops/step at batch {big}: {float(cost_b.get('flops', 0)):.3e}")
+            flops_big = float(cost_b.get("flops", 0))
+            log(f"flops/step at batch {big}: {flops_big:.3e}")
         except Exception:
             pass
         state_b, m_b = step_b(state_b, batch_big, key, coeff)
@@ -116,8 +155,13 @@ def measure_jax() -> dict:
         for i in range(n_big):
             state_b, m_b = step_b(state_b, batch_big, key, coeff)
         jax.block_until_ready(m_b["loss"])
-        big_mols_per_sec = big * n_big / (time.time() - t0)
-        log(f"pretrain batch={big}: {big_mols_per_sec:.1f} molecules/sec/chip")
+        dt_big = time.time() - t0
+        big_mols_per_sec = big * n_big / dt_big
+        big_tflops = flops_big * n_big / dt_big / 1e12
+        log(f"pretrain batch={big}: {big_mols_per_sec:.1f} molecules/sec/chip"
+            + (f", {big_tflops:.2f} TFLOP/s by its own cost_analysis"
+               + (f" ({100 * big_tflops * 1e12 / peak:.1f}% of peak)"
+                  if peak else "") if flops_big else ""))
         del state_b, m_b, batch_big
 
     # secondary: reverse-SDE PC sampler steps/sec (2D->3D, 64 clones)
@@ -145,8 +189,15 @@ def measure_jax() -> dict:
     sampler_sps = n_sampler_steps / (time.time() - t0)
     log(f"sampler: {sampler_sps:.1f} PC steps/sec (batch of 64 molecules)")
 
+    # ---- sustained, input-pipeline-inclusive throughput (VERDICT r2 #1):
+    # packed dataset -> compact collation (worker threads) -> async H2D ->
+    # device-side featurization fused into the train step.  Runs BEFORE any
+    # D2H read (tunnel quirk, module docstring).
+    sustained = measure_sustained(cfg, key)
+
     # ---- everything below performs D2H reads (degrades dispatch on the
     # tunneled TPU; see module docstring) -------------------------------
+
     log(f"first loss {float(metrics['loss']):.4f}")
     t0 = time.time()
     for i in range(STEPS):
@@ -155,11 +206,104 @@ def measure_jax() -> dict:
     post = BATCH * STEPS / (time.time() - t0)
     log(f"post-D2H (tunnel-degraded dispatch): {post:.1f} molecules/sec/chip")
     return {"mols_per_sec": mols_per_sec,
+            "sustained": sustained,
             "sampler_steps_per_sec": sampler_sps,
             "batch_1024_mols_per_sec": big_mols_per_sec,
+            "batch_1024_tflops": big_tflops,
             "flops_per_step": flops_per_step,
+            "flops_analytic": flops_analytic,
             "tflops": tflops,
-            "mfu": mfu}
+            "tflops_analytic": tflops_analytic,
+            "mfu": mfu,
+            "mfu_analytic": mfu_analytic}
+
+
+def measure_sustained(cfg, key) -> dict:
+    """Loader-inclusive pretrain throughput at the large-batch point:
+    PackedGraphs (memmap-shaped flat arrays) -> vectorized compact collation
+    in ThreadedLoader workers -> async device_put -> one XLA program that
+    featurizes (dense 4-hop extension on the MXU) and trains.  Also times
+    each pipeline stage alone for the bottleneck breakdown."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moleculesde_tpu.data.loader import (
+        GraphLoader, ThreadedLoader, device_prefetch)
+    from moleculesde_tpu.data.packed import PackedGraphs
+    from moleculesde_tpu.data.synthetic import random_molecule
+    from moleculesde_tpu.pretrain import create_pretrain_state, make_pretrain_step
+
+    batch_size = int(os.environ.get("BENCH_SUST_BATCH", 1024))
+    n_mols = int(os.environ.get("BENCH_SUST_MOLS", 24 * 1024))
+    epochs = int(os.environ.get("BENCH_SUST_EPOCHS", 3))
+    workers = int(os.environ.get("BENCH_SUST_WORKERS", 2))
+
+    t0 = time.time()
+    rng = np.random.default_rng(5)
+    packed = PackedGraphs.from_graphs(
+        random_molecule(rng, int(rng.integers(4, N_MAX + 1)), extend=False)
+        for _ in range(n_mols))
+    log(f"sustained: packed {n_mols} synthetic molecules in "
+        f"{time.time() - t0:.1f}s ({packed.nbytes() / 1e6:.1f} MB)")
+
+    def make_loader():
+        return ThreadedLoader(
+            GraphLoader(packed, batch_size=batch_size, n_max=N_MAX,
+                        e_max=4 * N_MAX, shuffle=True, drop_last=True,
+                        seed=0, collate="compact", quiet_drops=True),
+            num_workers=workers)
+
+    loader = make_loader()
+    cb0, _ = next(iter(loader))
+    coeff = jnp.asarray(1.0)
+    models, state = create_pretrain_state(cfg, jax.device_put(cb0), key)
+    step = make_pretrain_step(models, cfg)
+    t0 = time.time()
+    state, m = step(state, jax.device_put(cb0), key, coeff)
+    jax.block_until_ready(m["loss"])
+    log(f"sustained: compact-step compile {time.time() - t0:.1f}s")
+
+    # stage timings (each alone): host collation, H2D, device step
+    t0 = time.time()
+    n_b = 0
+    for _ in loader:
+        n_b += 1
+    collate_bps = n_b / (time.time() - t0)
+    dev_cb = jax.device_put(cb0)
+    t0 = time.time()
+    reps = 20
+    for i in range(reps):
+        dev_cb = jax.device_put(cb0)
+    jax.block_until_ready(jax.tree_util.tree_leaves(dev_cb))
+    h2d_bps = reps / (time.time() - t0)
+    t0 = time.time()
+    for i in range(reps):
+        state, m = step(state, dev_cb, key, coeff)
+    jax.block_until_ready(m["loss"])
+    step_bps = reps / (time.time() - t0)
+    log(f"sustained breakdown (batches/s of {batch_size}): host collate "
+        f"{collate_bps:.1f}, H2D {h2d_bps:.1f}, device step {step_bps:.1f}")
+
+    # the real pipeline, end to end
+    t0 = time.time()
+    n_steps = 0
+    for _ in range(epochs):
+        for cb, _n in device_prefetch(iter(loader), size=2):
+            state, m = step(state, cb, key, coeff)
+            n_steps += 1
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+    sustained_mps = n_steps * batch_size / dt
+    log(f"sustained pipeline: {n_steps} steps of {batch_size} in {dt:.1f}s "
+        f"-> {sustained_mps:.1f} molecules/sec (loader-inclusive)")
+    return {
+        "sustained_mols_per_sec": sustained_mps,
+        "sustained_batch": batch_size,
+        "collate_batches_per_sec": collate_bps,
+        "h2d_batches_per_sec": h2d_bps,
+        "device_step_batches_per_sec": step_bps,
+    }
 
 
 def measure_baseline() -> float:
@@ -198,10 +342,21 @@ def main():
         "unit": "molecules/sec",
         "vs_baseline": round(res["mols_per_sec"] / baseline, 2),
         "batch_1024_mols_per_sec": round(res["batch_1024_mols_per_sec"], 2),
+        "batch_1024_tflops": round(res["batch_1024_tflops"], 3),
+        "sustained_mols_per_sec": round(
+            res["sustained"]["sustained_mols_per_sec"], 2),
+        "sustained_batch": res["sustained"]["sustained_batch"],
+        "sustained_breakdown_batches_per_sec": {
+            k: round(res["sustained"][k], 2)
+            for k in ("collate_batches_per_sec", "h2d_batches_per_sec",
+                      "device_step_batches_per_sec")},
         "sampler_pc_steps_per_sec": round(res["sampler_steps_per_sec"], 2),
         "flops_per_step": res["flops_per_step"],
+        "flops_analytic": res["flops_analytic"],
         "tflops": round(res["tflops"], 3),
+        "tflops_analytic": round(res["tflops_analytic"], 3),
         "mfu": round(res["mfu"], 4),
+        "mfu_analytic": round(res["mfu_analytic"], 4),
     }))
 
 

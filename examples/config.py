@@ -24,6 +24,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dataset", type=str, default="QM9")
     parser.add_argument("--task", type=str, default="alpha")
     parser.add_argument("--num_workers", type=int, default=0)
+    # TPU extension (not in reference): host batch form.  "compact" ships
+    # minimal arrays and featurizes on device (data/compact.py, ~10x less
+    # H2D); "padded" collates full GraphBatch on host (data/loader.py).
+    parser.add_argument("--ingest", type=str, default="compact",
+                        choices=["compact", "padded"])
 
     # MD17 (ref l.34-39)
     parser.add_argument("--MD17_energy_coeff", type=float, default=0.05)

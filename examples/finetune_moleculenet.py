@@ -75,18 +75,21 @@ def make_evaluate(eval_step):
     auc_fn = jax.jit(roc_auc_mean_device)
 
     def evaluate(state, loader, collect=False):
-        ys, scores = [], []
+        ys, scores, gms = [], [], []
         for batch, n_real in loader:
             pred = eval_step(state, batch)
             gm = np.arange(batch.num_graphs) < n_real
             # padded graphs get label 0 on every task = masked out
             ys.append(np.where(gm[:, None], batch.y, 0.0))
             scores.append(pred)
+            gms.append(gm)
         y = jnp.concatenate([jnp.asarray(v) for v in ys])
         s = jnp.concatenate(scores)
         auc, n_ok = auc_fn(y, s)
         if collect:
-            return auc, n_ok, y, s
+            # real-molecule rows, independent of label content (a real
+            # molecule can have all labels missing; ref dumps [:n_real])
+            return auc, n_ok, y, s, np.concatenate(gms)
         return auc, n_ok
 
     return evaluate
@@ -137,10 +140,12 @@ def main(argv=None):
     logger = MetricsLogger(args.output_model_dir or None)
     lr_dev = jnp.asarray(args.lr)
     tracker_init, tracker_update = make_best_tracker("max")
-    best = None
+    zero = jnp.zeros(())
+    # initialize before the loop so --epochs=0 still reports/dumps cleanly
+    best = tracker_init((state.params, state.batch_stats, zero, zero))
+    val_ok = jnp.asarray(num_tasks)
     # per-epoch metrics kept as device scalars; synced only at print points
     pending = []
-    zero = jnp.zeros(())
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
         total, n = None, 0
@@ -159,8 +164,7 @@ def main(argv=None):
 
         # best-val selection runs on device; the winner is read once at exit
         payload = (state.params, state.batch_stats, train_auc, test_auc)
-        best = tracker_update(best, val_auc, payload) if best is not None \
-            else tracker_update(tracker_init(payload), val_auc, payload)
+        best = tracker_update(best, val_auc, payload)
         pending.append((epoch, {"loss": train_loss, "train_auc": train_auc,
                                 "val_auc": val_auc, "test_auc": test_auc}))
 
@@ -193,11 +197,10 @@ def main(argv=None):
         # prediction dump at the best epoch (the reference's
         # evaluation_best.pth, finetune_MoleculeNet.py:324-339)
         best_state = state.replace(params=best_params, batch_stats=best_bs)
-        _, _, y, s = evaluate(best_state, test_loader, collect=True)
-        valid_rows = np.asarray(jax.device_get((y != 0).any(axis=1)))
+        _, _, y, s, real_rows = evaluate(best_state, test_loader, collect=True)
         np.savez(os.path.join(args.output_model_dir, "evaluation_best.npz"),
-                 test_true=np.asarray(jax.device_get(y))[valid_rows],
-                 test_scores=np.asarray(jax.device_get(s))[valid_rows])
+                 test_true=np.asarray(jax.device_get(y))[real_rows],
+                 test_scores=np.asarray(jax.device_get(s))[real_rows])
     return float(best_val), float(best_test)
 
 

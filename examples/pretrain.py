@@ -49,7 +49,11 @@ def load_graphs(args):
     if args.dataset == "synthetic" or args.synthetic_molecules > 0:
         n = args.synthetic_molecules or 1024
         rng = np.random.default_rng(args.seed)
-        return [random_molecule(rng, int(rng.integers(4, args.n_max + 1)))
+        # compact ingest rebuilds the extended graph on device — skip the
+        # host-side extension entirely
+        extend = args.use_extend_graph and args.ingest != "compact"
+        return [random_molecule(rng, int(rng.integers(4, args.n_max + 1)),
+                                extend=extend)
                 for _ in range(n)]
     if args.dataset.lower() in ("pcqm4mv2", "pcqm4m-v2"):
         from moleculesde_tpu.data.datasets import load_pcqm4mv2
@@ -106,7 +110,12 @@ def main(argv=None):
         loader = GraphLoader(
             graphs, batch_size=args.batch_size, n_max=n_max,
             e_max=args.e_max_factor * n_max, ext_e_max=ext_e_max,
-            shuffle=True, drop_last=True, seed=args.seed)
+            shuffle=True, drop_last=True, seed=args.seed,
+            collate=args.ingest, use_extend=args.use_extend_graph)
+        if args.num_workers > 0:
+            from moleculesde_tpu.data.loader import ThreadedLoader
+
+            loader = ThreadedLoader(loader, num_workers=args.num_workers)
 
     cfg = PretrainConfig(
         emb_dim=args.emb_dim, num_layer=args.num_layer, jk=args.JK,

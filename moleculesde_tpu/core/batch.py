@@ -73,6 +73,12 @@ class GraphBatch(struct.PyTreeNode):
     ext_mask: jnp.ndarray
     y: Optional[jnp.ndarray] = None
     forces: Optional[jnp.ndarray] = None
+    # Dense extended graph ``[B, n_max, n_max]`` (mask bool / attr int32),
+    # set by the device-side ingest path (data/compact.py::expand_on_device).
+    # When present, the 2D->3D score model uses these directly instead of
+    # re-scattering the ``ext_*`` edge lists.
+    ext_dense_mask: Optional[jnp.ndarray] = None
+    ext_dense_attr: Optional[jnp.ndarray] = None
     num_graphs: int = struct.field(pytree_node=False, default=1)
     n_max: int = struct.field(pytree_node=False, default=32)
 

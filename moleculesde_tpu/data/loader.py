@@ -38,12 +38,23 @@ class GraphLoader:
         with_forces: bool = False,
         rotation_transform: bool = False,
         quiet_drops: bool = False,
+        collate: str = "padded",
+        use_extend: bool = True,
     ):
         # keep indexable datasets (e.g. data.packed.PackedGraphs memmaps)
         # as-is; only materialize true iterators
         self.graphs = (graphs if hasattr(graphs, "__getitem__")
                        and hasattr(graphs, "__len__") else list(graphs))
         self.rotation_transform = rotation_transform
+        # "compact" emits CompactBatch host arrays featurized on device
+        # (data/compact.py; ~10x less H2D traffic — the ext graph never
+        # leaves the device); "padded" emits host-collated GraphBatch.
+        assert collate in ("padded", "compact")
+        if collate == "compact" and rotation_transform:
+            raise NotImplementedError(
+                "rotation_transform is a padded-path option")
+        self.collate_mode = collate
+        self.use_extend = use_extend
         self.batch_size = batch_size
         self.n_max = n_max
         self.e_max = e_max if e_max is not None else 4 * n_max
@@ -64,7 +75,11 @@ class GraphLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Tuple[GraphBatch, int]]:
+    def epoch_indices(self) -> List[np.ndarray]:
+        """One epoch's per-batch molecule-index arrays (advances the shuffle
+        RNG and the drop bookkeeping).  ``collate_indices`` maps one array to
+        a batch — the split lets worker threads collate batches in parallel
+        (:class:`ThreadedLoader`)."""
         order = np.arange(len(self.graphs))
         if self.shuffle:
             order = self._rng.permutation(order)
@@ -80,14 +95,37 @@ class GraphLoader:
             print(f"GraphLoader(n_max={self.n_max}): drop_last discards "
                   f"{self.last_epoch_dropped}/{len(self.graphs)} molecules "
                   f"this epoch")
-        for b in range(n_batches):
-            idx = order[b * bs : (b + 1) * bs]
-            chunk = [self.graphs[i] for i in idx]
-            if self.rotation_transform:
-                chunk = [self._rotate(g) for g in chunk]
-            self._check_budgets(chunk)
-            batch = self._collate(chunk, bs)
-            yield batch, len(chunk)
+        return [order[b * bs : (b + 1) * bs] for b in range(n_batches)]
+
+    def collate_indices(self, idx: np.ndarray) -> Tuple[GraphBatch, int]:
+        """Collate one batch of dataset indices (thread-safe: no loader
+        state is mutated)."""
+        bs = self.batch_size
+        if self.collate_mode == "compact":
+            from moleculesde_tpu.data.compact import (
+                collate_compact, collate_compact_packed)
+
+            if hasattr(self.graphs, "num_atoms"):  # packed fast path
+                batch = collate_compact_packed(
+                    self.graphs, idx, n_max=self.n_max, e_max=self.e_max,
+                    num_graphs=bs, num_tasks=self.num_tasks,
+                    with_forces=self.with_forces, use_extend=self.use_extend)
+            else:
+                batch = collate_compact(
+                    [self.graphs[i] for i in idx], n_max=self.n_max,
+                    e_max=self.e_max, num_graphs=bs,
+                    num_tasks=self.num_tasks, with_forces=self.with_forces,
+                    use_extend=self.use_extend)
+            return batch, len(idx)
+        chunk = [self.graphs[i] for i in idx]
+        if self.rotation_transform:
+            chunk = [self._rotate(g) for g in chunk]
+        self._check_budgets(chunk)
+        return self._collate(chunk, bs), len(chunk)
+
+    def __iter__(self) -> Iterator[Tuple[GraphBatch, int]]:
+        for idx in self.epoch_indices():
+            yield self.collate_indices(idx)
 
     def _check_budgets(self, chunk) -> None:
         """Warn (once per loader) when molecules exceed the padding budgets
@@ -224,6 +262,50 @@ class BucketedGraphLoader:
             self._rng.shuffle(schedule)
         for i in schedule:
             yield next(iters[i])
+
+
+class ThreadedLoader:
+    """Collate batches in ``num_workers`` background threads (the TPU-side
+    equivalent of the reference's DataLoader worker processes, reference
+    examples/config.py:31 ``num_workers``).
+
+    Threads rather than processes: the collation hot paths — numpy
+    fancy-index gathers (data/compact.py) and the native C++ collator
+    (ctypes calls) — release the GIL, so threads overlap collation with the
+    main thread's dispatch/H2D without pickling batches across process
+    boundaries (this host has one core; process workers would only add IPC).
+    Batch order is deterministic (same as the wrapped loader); up to
+    ``prefetch`` batches are in flight.
+    """
+
+    def __init__(self, loader: "GraphLoader", num_workers: int = 2,
+                 prefetch: Optional[int] = None):
+        if getattr(loader, "rotation_transform", False):
+            raise NotImplementedError(
+                "rotation_transform mutates the loader RNG; use num_workers=0")
+        self.loader = loader
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch if prefetch is not None else 2 * self.num_workers
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self):
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        batches = self.loader.epoch_indices()
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            futs = collections.deque()
+            it = iter(batches)
+            for idx in batches[: self.prefetch]:
+                futs.append(ex.submit(self.loader.collate_indices, idx))
+                next(it)
+            while futs:
+                yield futs.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    futs.append(ex.submit(self.loader.collate_indices, nxt))
 
 
 def device_prefetch(iterator, size: int = 2, put_fn=None):

@@ -104,6 +104,22 @@ class PackedGraphs:
                 fields_seen.add("y")
                 ys.append(np.asarray(g["y"], np.float32).reshape(-1))
 
+        # positions/forces are sliced with the GLOBAL node offsets and y is
+        # indexed by graph position in __getitem__; a field present on only a
+        # subset of graphs would silently misalign every later molecule.
+        # (ext_edge_index keeps its own per-graph offsets — absent graphs
+        # record a 0 count — so mixed presence is safe there.)
+        for name in ("positions", "forces"):
+            if name in fields_seen and len(chunks.get(name, ())) != n:
+                raise ValueError(
+                    f"PackedGraphs.from_graphs: field '{name}' present on "
+                    f"{len(chunks.get(name, ()))}/{n} graphs; packed storage "
+                    f"requires all-or-none per field")
+        if "y" in fields_seen and len(ys) != n:
+            raise ValueError(
+                f"PackedGraphs.from_graphs: field 'y' present on "
+                f"{len(ys)}/{n} graphs; packed storage requires all-or-none "
+                f"per field")
         arrays = {
             "node_offsets": _offsets(node_counts),
             "edge_offsets": _offsets(edge_counts),

@@ -132,10 +132,12 @@ class SchNet(nn.Module):
         if self.mean is not None and self.std is not None:
             h = h * self.std + self.mean
         if self.use_atomref:
-            atomref = nn.Embed(self.node_class, self.hidden_channels,
-                               embedding_init=zeros_init, name="atomref")
-            h = h + atomref(jnp.clip(z, 0, self.node_class - 1)).reshape(
-                num_graphs, n_max, self.hidden_channels)
+            # reference semantics exactly: ``Embedding(100, 1)`` per-node
+            # scalar offset broadcast-added over the feature dim
+            # (ref schnet.py:66-70, 112-113)
+            atomref = nn.Embed(100, 1, embedding_init=zeros_init,
+                               name="atomref")
+            h = h + atomref(jnp.clip(z, 0, 99)).reshape(num_graphs, n_max, 1)
 
         m = node_mask.reshape(num_graphs, n_max, 1).astype(h.dtype)
         h = h * m

@@ -346,7 +346,11 @@ class SDEModel2Dto3D(nn.Module):
 
     def _pair_mask_attr(self, batch: GraphBatch):
         """Dense [B, N, N] extended-adjacency mask + bond-type labels,
-        indexed [b, s, d], scattered once from the padded edge lists."""
+        indexed [b, s, d], scattered once from the padded edge lists.
+        The device-side ingest path (data/compact.py) builds the dense form
+        directly on the TPU — use it as-is."""
+        if batch.ext_dense_mask is not None:
+            return batch.ext_dense_mask, batch.ext_dense_attr
         if self.use_extend_graph:
             src, dst, emask, eattr = (batch.ext_src, batch.ext_dst,
                                       batch.ext_mask, batch.ext_attr)

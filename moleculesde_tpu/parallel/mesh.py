@@ -111,6 +111,17 @@ def global_batch_putter(mesh: Mesh, axis_name: str = "data") -> Callable:
     pid = jax.process_index()
 
     def put(batch: GraphBatch) -> GraphBatch:
+        from moleculesde_tpu.data.compact import CompactBatch
+
+        if isinstance(batch, CompactBatch):
+            # compact batches carry graph-LOCAL bond endpoints and leading-
+            # axis-B arrays only: global assembly is pure concatenation,
+            # no index shifting at all
+            assembled = jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)), batch)
+            return assembled.replace(
+                num_graphs=batch.num_graphs * jax.process_count())
         node_offset = pid * batch.num_nodes
 
         def mk(x, offset=0):
@@ -152,12 +163,21 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
     Multi-process: every host holds the identical full array (flax init is
     PRNG/shape-deterministic), so the local data IS the global replicated
-    value and assembles via ``make_array_from_process_local_data``."""
+    value.  Device-resident leaves are spread with device-to-device copies
+    and assembled via ``make_array_from_single_device_arrays`` — no
+    device->host round-trip (on tunneled TPUs the first D2H permanently
+    degrades per-program dispatch latency; see CLAUDE.md)."""
     sharding = NamedSharding(mesh, P())
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)), tree)
+        local_devs = [d for d in mesh.devices.flat
+                      if d.process_index == jax.process_index()]
+
+        def rep(x):
+            shards = [jax.device_put(x, d) for d in local_devs]
+            return jax.make_array_from_single_device_arrays(
+                np.shape(x), sharding, shards)
+
+        return jax.tree_util.tree_map(rep, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

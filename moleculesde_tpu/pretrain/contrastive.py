@@ -82,10 +82,16 @@ def do_cl(
         return loss, acc
 
     if metric == "EBM_node_dot_prod":
-        # random-permutation negatives (ref util.py:52-68)
-        perm = jax.random.permutation(key, n)
-        neg_y = y[perm]
-        neg_mask = None if mask is None else mask & mask[perm]
+        # Random-partner negatives (ref util.py:52-68 uses torch.randperm).
+        # A device-wide ``jax.random.permutation`` is a sort — ~1.5 ms/step
+        # at n=8192 on v5e, ~28% of the whole training step.  Instead draw a
+        # random cyclic shift r ~ U{1..n-1}: perm[i] = (i + r) % n.  Each
+        # row's negative partner is a uniformly random OTHER row (marginally
+        # identical to randperm, minus randperm's ~1 self-pairing fixed
+        # point per draw), at the cost of one dynamic-slice roll.
+        r = jax.random.randint(key, (), 1, n)
+        neg_y = jnp.roll(y, -r, axis=0)
+        neg_mask = None if mask is None else mask & jnp.roll(mask, -r, axis=0)
         pred_pos = jnp.sum(x * y, axis=1) / T
         pred_neg = jnp.sum(x * neg_y, axis=1) / T
         loss_pos = _masked_mean(_bce_with_logits(pred_pos, jnp.ones_like(pred_pos)), mask)

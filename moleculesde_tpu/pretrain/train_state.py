@@ -173,6 +173,11 @@ def create_pretrain_state(
     cfg: PretrainConfig, batch: GraphBatch, key: jax.Array
 ) -> Tuple[Dict[str, Any], PretrainState]:
     """Initialize all four components and the optimizer."""
+    from moleculesde_tpu.data.compact import CompactBatch, expand_on_device
+
+    if isinstance(batch, CompactBatch):
+        # init only needs shapes/masks; run the device featurizer once
+        batch = jax.jit(expand_on_device)(batch)
     models = build_models(cfg)
     k2d, k3d, k23, k32, kn = jax.random.split(key, 5)
 

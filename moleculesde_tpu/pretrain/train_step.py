@@ -93,8 +93,15 @@ def make_pretrain_step(
         metrics["loss"] = total
         return total, (metrics, new_batch_stats)
 
-    def step_fn(state: PretrainState, batch: GraphBatch, key: jax.Array,
+    def step_fn(state: PretrainState, batch, key: jax.Array,
                 coeff_contrastive: jnp.ndarray):
+        # Compact ingest: the batch arrives as minimal host arrays and is
+        # featurized on device inside this same program (data/compact.py) —
+        # the type dispatch is resolved at trace time.
+        from moleculesde_tpu.data.compact import CompactBatch, expand_on_device
+
+        if isinstance(batch, CompactBatch):
+            batch = expand_on_device(batch)
         # derive this step's randomness inside the program: callers pass the
         # SAME base key every step, so the training loop dispatches exactly
         # one device program per step (a separate host-side random.split is a

@@ -92,6 +92,10 @@ def import_schnet(sd: Dict[str, Any], num_interactions: int = 6):
             "Dense_3": _lin(sd, f"interactions.{k}.conv.lin2"),
             "Dense_4": _lin(sd, f"interactions.{k}.lin"),
         }
+    if "atomref.weight" in sd:
+        # per-node scalar offset table (ref schnet.py:66-70); requires the
+        # flax model to be built with use_atomref=True
+        params["atomref"] = {"embedding": _np(sd["atomref.weight"])}
     return params
 
 

@@ -1,0 +1,164 @@
+"""A minimal duck-typed ``rdkit`` stand-in for exercising the real-data
+loaders without RDKit (VERDICT r2 #4).
+
+The image ships no RDKit, so the RDKit-dependent parse loops in
+``data/datasets.py`` (QM9's SDMolSupplier skip/thermo loop, PCQM4Mv2's
+packed streaming, MoleculeNet's drop path) could never execute in CI.  This
+module provides just enough of the ``rdkit.Chem`` surface — a real V2000
+SDF parser over the committed raw-format fixtures (tests/fixtures/) and a
+toy linear-chain SMILES parser — to drive those loops end to end.  Install
+via :func:`install` (registers ``sys.modules['rdkit']``); tests that have
+real RDKit available skip the stub and run the loaders directly
+(``pytest.mark.skipif``).
+
+Featurization correctness is NOT the point here (that is covered by the
+golden vocabulary tests in test_featurize.py); control flow is.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from typing import List, Optional
+
+import numpy as np
+
+_ELEMENTS = {"H": 1, "C": 6, "N": 7, "O": 8, "F": 9, "S": 16, "Cl": 17}
+_BOND_TYPES = {1: "SINGLE", 2: "DOUBLE", 3: "TRIPLE", 4: "AROMATIC"}
+
+
+class Atom:
+    def __init__(self, z: int):
+        self._z = z
+        self._degree = 0
+
+    def GetAtomicNum(self): return self._z
+    def GetChiralTag(self): return "CHI_UNSPECIFIED"
+    def GetTotalDegree(self): return self._degree
+    def GetFormalCharge(self): return 0
+    def GetTotalNumHs(self): return 0
+    def GetNumRadicalElectrons(self): return 0
+    def GetHybridization(self): return "SP3"
+    def GetIsAromatic(self): return False
+    def IsInRing(self): return False
+
+
+class Bond:
+    def __init__(self, i: int, j: int, order: int = 1):
+        self.i, self.j, self.order = i, j, order
+
+    def GetBeginAtomIdx(self): return self.i
+    def GetEndAtomIdx(self): return self.j
+    def GetBondType(self): return _BOND_TYPES.get(self.order, "misc")
+    def GetStereo(self): return "STEREONONE"
+    def GetIsConjugated(self): return False
+
+
+class Conformer:
+    def __init__(self, pos):
+        self._pos = np.asarray(pos, dtype=np.float64)
+
+    def GetPositions(self): return self._pos
+
+
+class Mol:
+    def __init__(self, atoms, bonds, pos=None, title=""):
+        self._atoms, self._bonds, self._title = atoms, bonds, title
+        for b in bonds:
+            atoms[b.i]._degree += 1
+            atoms[b.j]._degree += 1
+        self._confs = [Conformer(pos)] if pos is not None else []
+
+    def GetAtoms(self): return self._atoms
+    def GetBonds(self): return self._bonds
+    def GetConformer(self, idx=0): return self._confs[idx]
+
+
+def _parse_sdf_block(block: str) -> Optional[Mol]:
+    """Parse one V2000 molfile record; None on malformed input (exercising
+    the loaders' ``mol is None`` skip path)."""
+    lines = block.split("\n")
+    if len(lines) < 4:
+        return None
+    try:
+        counts = lines[3].split()
+        na, nb = int(counts[0]), int(counts[1])
+        atoms: List[Atom] = []
+        pos = []
+        for ln in lines[4 : 4 + na]:
+            f = ln.split()
+            x, y, z_ = float(f[0]), float(f[1]), float(f[2])
+            atoms.append(Atom(_ELEMENTS[f[3]]))
+            pos.append((x, y, z_))
+        bonds = []
+        for ln in lines[4 + na : 4 + na + nb]:
+            f = ln.split()
+            bonds.append(Bond(int(f[0]) - 1, int(f[1]) - 1, int(f[2])))
+        return Mol(atoms, bonds, pos=np.array(pos), title=lines[0].strip())
+    except Exception:
+        return None
+
+
+class SDMolSupplier:
+    """File-backed iterable of Mols, like rdkit.Chem.SDMolSupplier (records
+    separated by ``$$$$``; malformed records yield None)."""
+
+    def __init__(self, path: str, removeHs: bool = False, sanitize: bool = True):
+        with open(path) as f:
+            text = f.read()
+        self._blocks = [b for b in text.split("$$$$")
+                        if b.strip()]
+
+    def __iter__(self):
+        for b in self._blocks:
+            yield _parse_sdf_block(b.lstrip("\n"))
+
+    def __len__(self):
+        return len(self._blocks)
+
+
+def MolFromSmiles(smiles: str) -> Optional[Mol]:
+    """Toy SMILES: a linear single-bonded chain of one-letter elements
+    (C, N, O, F...).  Anything else is unparseable -> None, driving the
+    MoleculeNet drop-on-failure path."""
+    atoms = []
+    for ch in smiles:
+        if ch not in _ELEMENTS:
+            return None
+        atoms.append(Atom(_ELEMENTS[ch]))
+    if not atoms:
+        return None
+    bonds = [Bond(i, i + 1, 1) for i in range(len(atoms) - 1)]
+    return Mol(atoms, bonds)
+
+
+def MolToSmiles(mol: Mol) -> str:
+    inv = {v: k for k, v in _ELEMENTS.items()}
+    return "".join(inv.get(a.GetAtomicNum(), "C") for a in mol.GetAtoms())
+
+
+def install():
+    """Register the stub as ``rdkit`` / ``rdkit.Chem`` in sys.modules (no-op
+    if real RDKit is importable).  Returns True if the stub was installed."""
+    try:
+        import rdkit  # noqa: F401
+
+        return False
+    except ImportError:
+        pass
+    chem = types.ModuleType("rdkit.Chem")
+    chem.SDMolSupplier = SDMolSupplier
+    chem.MolFromSmiles = MolFromSmiles
+    chem.MolToSmiles = MolToSmiles
+    root = types.ModuleType("rdkit")
+    root.Chem = chem
+    sys.modules["rdkit"] = root
+    sys.modules["rdkit.Chem"] = chem
+    return True
+
+
+def uninstall():
+    for name in ("rdkit", "rdkit.Chem"):
+        if name in sys.modules and isinstance(sys.modules[name], types.ModuleType) \
+                and getattr(sys.modules[name], "__file__", None) is None:
+            del sys.modules[name]

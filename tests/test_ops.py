@@ -119,3 +119,29 @@ def test_rbf_and_cutoff():
 
 def test_shifted_softplus():
     np.testing.assert_allclose(float(shifted_softplus(jnp.array(0.0))), 0.0, atol=1e-6)
+
+
+def test_gaussian_fourier_projection_custom_vjp():
+    """The custom VJP (backward from saved sin/cos, ops/fourier.py) must
+    match the autodiff of the naive formula for both x and w cotangents."""
+    import math
+
+    w = jnp.array([0.3, 1.7, 2.2])
+    x = jnp.array([[0.5], [-1.2], [0.0], [3.4]])
+
+    def naive(x, w):
+        proj = x * w * 2.0 * math.pi
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+    out = gaussian_fourier_projection(x, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(naive(x, w)),
+                               atol=1e-6)
+
+    cot = jax.random.normal(jax.random.PRNGKey(0), out.shape)
+    gx, gw = jax.grad(
+        lambda x, w: jnp.sum(gaussian_fourier_projection(x, w) * cot),
+        argnums=(0, 1))(x, w)
+    gx_ref, gw_ref = jax.grad(
+        lambda x, w: jnp.sum(naive(x, w) * cot), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=1e-5)

@@ -117,3 +117,24 @@ def test_packed_slicing():
     sub = view[1:3]
     np.testing.assert_array_equal(sub[0]["atom_feats"],
                                   graphs[3]["atom_feats"])
+
+
+def test_packed_rejects_partial_optional_fields():
+    """positions/forces/y present on only a subset of graphs would misalign
+    every later molecule (ADVICE r2); from_graphs must refuse."""
+    import pytest
+
+    from moleculesde_tpu.data.packed import PackedGraphs
+
+    g1 = {"atom_feats": np.zeros((3, 9), np.int16),
+          "edge_index": np.zeros((2, 0), np.int16),
+          "edge_feats": np.zeros((0, 3), np.int16),
+          "positions": np.zeros((3, 3), np.float32)}
+    g2 = {"atom_feats": np.zeros((2, 9), np.int16),
+          "edge_index": np.zeros((2, 0), np.int16),
+          "edge_feats": np.zeros((0, 3), np.int16)}
+    with pytest.raises(ValueError, match="all-or-none"):
+        PackedGraphs.from_graphs([g1, g2])
+    g3 = dict(g2, positions=np.zeros((2, 3), np.float32), y=np.ones((2,)))
+    with pytest.raises(ValueError, match="all-or-none"):
+        PackedGraphs.from_graphs([g1, g3])

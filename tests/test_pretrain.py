@@ -131,3 +131,36 @@ def test_per_module_lr_groups(small_cfg):
     assert total_change(before["SDE_2Dto3D_model"], state.params["SDE_2Dto3D_model"]) == 0.0
     assert total_change(before["model_3D"], state.params["model_3D"]) > 0.0
     assert total_change(before["SDE_3Dto2D_model"], state.params["SDE_3Dto2D_model"]) > 0.0
+
+
+def test_ebm_node_negative_partner_uniform_over_others():
+    """The sort-free negative sampler (random cyclic shift, contrastive.py)
+    must give every row a uniformly random OTHER row as its negative partner
+    — the distributional semantics of the reference's torch.randperm
+    negatives (ref util.py:54-57), minus randperm's self-pairing fixed
+    points."""
+    n = 7
+    i = 3
+    counts = np.zeros(n, dtype=int)
+    draws = 3000
+    for s in range(draws):
+        r = int(jax.random.randint(jax.random.PRNGKey(s), (), 1, n))
+        counts[(i + r) % n] += 1
+    assert counts[i] == 0  # never self-paired
+    expected = draws / (n - 1)
+    assert np.all(np.abs(counts[np.arange(n) != i] - expected) < 5 * np.sqrt(expected))
+
+
+def test_ebm_node_dot_prod_masked_partner_zero_weight():
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (8, 4))
+    y = jax.random.normal(jax.random.PRNGKey(12), (8, 4))
+    mask = jnp.array([True] * 6 + [False] * 2)
+    # garbage in masked rows must not change the loss: the negative of a
+    # valid row whose shifted partner is masked gets weight zero
+    y_dirty = y.at[6:].set(1e6)
+    for s in range(5):
+        k = jax.random.PRNGKey(100 + s)
+        l1, _ = do_cl(x, y, k, "EBM_node_dot_prod", mask=mask)
+        l2, _ = do_cl(x, y_dirty, k, "EBM_node_dot_prod", mask=mask)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)

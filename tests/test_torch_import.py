@@ -279,3 +279,33 @@ def test_import_sde_3dto2d_into_model():
     assert ref_shapes == imp_shapes
     lx, ladj = model.apply({"params": params}, node_3d, batch, key)
     assert np.isfinite(float(lx)) and np.isfinite(float(ladj))
+
+
+def test_import_schnet_atomref_roundtrip():
+    """atomref is Embedding(100, 1): a per-node scalar offset added to the
+    head output (ref schnet.py:66-70, 112-113).  Import must map it and the
+    flax model must apply it with identical semantics."""
+    sd = _fake_schnet_state_dict()
+    table = torch.randn(100, 1)
+    sd["atomref.weight"] = table
+    params = import_schnet(sd, num_interactions=2)
+    assert params["atomref"]["embedding"].shape == (100, 1)
+
+    batch = synthetic_batch(num_graphs=2, n_max=6, seed=1)
+    base = SchNet(hidden_channels=8, num_filters=8, num_interactions=2,
+                  num_gaussians=5)
+    with_ref = SchNet(hidden_channels=8, num_filters=8, num_interactions=2,
+                      num_gaussians=5, use_atomref=True, readout="add")
+    base_add = SchNet(hidden_channels=8, num_filters=8, num_interactions=2,
+                      num_gaussians=5, readout="add")
+    params_noref = {k: v for k, v in params.items() if k != "atomref"}
+    p0, l0 = base_add.apply({"params": params_noref}, batch.atomic_numbers,
+                            batch.positions, batch.node_mask, 2, 6)
+    p1, l1 = with_ref.apply({"params": params}, batch.atomic_numbers,
+                            batch.positions, batch.node_mask, 2, 6)
+    # per-node offset = table[z], broadcast over the feature dim
+    z = np.asarray(batch.atomic_numbers)
+    offs = table.numpy()[np.clip(z, 0, 99), 0]
+    expected = np.asarray(l0) + offs[:, None] * np.asarray(
+        batch.node_mask)[:, None]
+    np.testing.assert_allclose(np.asarray(l1), expected, atol=1e-5)
