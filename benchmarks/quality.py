@@ -15,6 +15,11 @@ examples/pretrain_MoleculeSDE_inference_2D_to_3D_VE_VP.py:42-89):
 Run: ``python benchmarks/quality.py`` (env knobs below; defaults sized for
 the TPU — takes a few minutes of compile + seconds of compute).  The test
 suite runs the same study at toy scale (tests/test_learning.py).
+
+``python benchmarks/quality_sweep.py`` reuses the trained models to sweep
+the sampler knobs (sample_steps / corrector_steps / snr) toward the RMSD
+north star (VERDICT r2 #7); it writes the per-molecule min-RMSD
+distributions to ``benchmarks/artifacts/rmsd_sweep.npz``.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ import json
 import os
 import sys
 import time
+from typing import Dict, Optional
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -31,28 +37,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_study(
+def train_quality_models(
     n_mols: int = 256,
     n_max: int = 16,
     emb_dim: int = 128,
     steps: int = 2000,
     batch_size: int = 64,
-    eval_mols: int = 16,
-    num_repeat: int = 8,
-    sample_steps: int = 300,
     seed: int = 0,
     sde_type_2dto3d: str = "VE",
     sde_type_3dto2d: str = "VE",
     log=print,
-):
+) -> Dict:
+    """Pretrain the four components on geometric synthetic molecules; returns
+    everything the generation/metric stages need (models, trained AND
+    untrained param snapshots, the molecule set and padding budgets)."""
     from moleculesde_tpu.data.loader import GraphLoader
     from moleculesde_tpu.data.synthetic import random_molecule
-    from moleculesde_tpu.models import SDEModel2Dto3D, SDEModel3Dto2D
     from moleculesde_tpu.pretrain import (
         PretrainConfig, create_pretrain_state, make_pretrain_step)
-    from moleculesde_tpu.sampling import (
-        repeat_graph_batch, sample_graph_pc, sample_positions_pc)
-    from moleculesde_tpu.utils.rmsd import coverage_matching
 
     rng = np.random.default_rng(seed)
     graphs = [random_molecule(rng, int(rng.integers(max(n_max // 2, 4),
@@ -93,16 +95,22 @@ def run_study(
         f"3Dto2D={float(metrics['SDE_loss_3Dto2D']):.4f}")
 
     trained = (jax.device_get(state.params), jax.device_get(state.batch_stats))
-    eval_graphs = graphs[:eval_mols]
+    return dict(models=models, cfg=cfg, graphs=graphs, n_max=n_max,
+                e_max=e_max, ext_e_max=ext_e_max, seed=seed,
+                trained=trained, untrained=untrained)
 
-    # ---- 2D->3D conformer generation --------------------------------------
-    gin = models["model_2D"]
-    sde23: SDEModel2Dto3D = models["SDE_2Dto3D_model"]
-    sde32: SDEModel3Dto2D = models["SDE_3Dto2D_model"]
-    schnet = models["model_3D"]
+
+def make_gen_positions(ctx: Dict, sample_steps: int, corrector_steps: int = 1):
+    """Jitted 2D->3D chain for one knob setting; ``snr`` stays a traced
+    argument so sweeping it costs no recompile."""
+    from moleculesde_tpu.models import SDEModel2Dto3D  # noqa: F401
+    from moleculesde_tpu.sampling import sample_positions_pc
+
+    gin = ctx["models"]["model_2D"]
+    sde23 = ctx["models"]["SDE_2Dto3D_model"]
 
     @jax.jit
-    def gen_positions(params, batch_stats, batch, k):
+    def gen(params, batch_stats, batch, k, snr):
         v2d = {"params": params["model_2D"],
                "batch_stats": batch_stats["model_2D"]}
         node_2d = gin.apply(v2d, batch, deterministic=True,
@@ -110,32 +118,71 @@ def run_study(
         v23 = {"params": params["SDE_2Dto3D_model"],
                "batch_stats": batch_stats["SDE_2Dto3D_model"]}
         return sample_positions_pc(sde23, v23, node_2d, batch, k,
-                                   n_steps=sample_steps)
+                                   n_steps=sample_steps,
+                                   corrector_steps=corrector_steps, snr=snr)
+    return gen
 
-    def conformer_metrics(params, batch_stats):
-        covs, mats = [], []
-        k = jax.random.PRNGKey(seed + 1)
-        for g in eval_graphs:
-            batch = repeat_graph_batch(g, num_repeat, n_max, e_max, ext_e_max)
-            k, sub = jax.random.split(k)
-            pos = np.asarray(gen_positions(params, batch_stats,
-                                           jax.device_put(batch), sub))
-            n_atoms = g["atom_feats"].shape[0]
-            pos = pos.reshape(num_repeat, n_max, 3)[:, :n_atoms]
-            # a diverged chain (expected for the untrained model) counts as
-            # arbitrarily-bad geometry rather than poisoning the metric
-            pos = np.nan_to_num(pos, nan=1e3, posinf=1e3, neginf=-1e3)
-            cov, mat = coverage_matching(pos, np.asarray(g["positions"])[None],
-                                         threshold=0.5)
-            covs.append(cov)
-            mats.append(mat)
-        return float(np.mean(covs)), float(np.mean(mats))
 
-    # ---- 3D->2D graph generation -------------------------------------------
+def conformer_metrics(
+    ctx: Dict,
+    params,
+    batch_stats,
+    gen,
+    snr: float = 0.2,
+    eval_mols: int = 16,
+    num_repeat: int = 8,
+    threshold: float = 0.5,
+    collect_rmsds: bool = False,
+):
+    """COV@threshold / MAT over the first ``eval_mols`` training molecules;
+    optionally returns the per-molecule min-RMSD values (the distribution
+    behind MAT — the north-star artifact)."""
+    from moleculesde_tpu.sampling import repeat_graph_batch
+    from moleculesde_tpu.utils.rmsd import pairwise_rmsd
+
+    covs, mats, rmsds = [], [], []
+    k = jax.random.PRNGKey(ctx["seed"] + 1)
+    n_max = ctx["n_max"]
+    snr_dev = jnp.asarray(snr, jnp.float32)
+    for g in ctx["graphs"][:eval_mols]:
+        batch = repeat_graph_batch(g, num_repeat, n_max, ctx["e_max"],
+                                   ctx["ext_e_max"])
+        k, sub = jax.random.split(k)
+        pos = np.asarray(gen(params, batch_stats, jax.device_put(batch), sub,
+                             snr_dev))
+        n_atoms = g["atom_feats"].shape[0]
+        pos = pos.reshape(num_repeat, n_max, 3)[:, :n_atoms]
+        # a diverged chain (expected for the untrained model) counts as
+        # arbitrarily-bad geometry rather than poisoning the metric
+        pos = np.nan_to_num(pos, nan=1e3, posinf=1e3, neginf=-1e3)
+        d = np.asarray(pairwise_rmsd(
+            jnp.asarray(pos), jnp.asarray(np.asarray(g["positions"])[None])))
+        min_over_gen = d.min(axis=0)  # per reference conformer
+        covs.append(float((min_over_gen < threshold).mean()))
+        mats.append(float(min_over_gen.mean()))
+        if collect_rmsds:
+            rmsds.append(min_over_gen)
+    cov, mat = float(np.mean(covs)), float(np.mean(mats))
+    if collect_rmsds:
+        return cov, mat, np.concatenate(rmsds)
+    return cov, mat
+
+
+def graph_recovery(ctx: Dict, params, sample_steps: int = 300,
+                   eval_mols: int = 16, log=print):
+    """3D->2D joint sampling -> bond ROC-AUC + node-class accuracy."""
+    from sklearn.metrics import roc_auc_score
+
     from moleculesde_tpu.core.batch import pad_graphs
+    from moleculesde_tpu.sampling import sample_graph_pc
 
-    eval_batch = pad_graphs(eval_graphs, n_max=n_max, e_max=e_max,
-                            ext_e_max=ext_e_max)
+    models = ctx["models"]
+    n_max = ctx["n_max"]
+    eval_graphs = ctx["graphs"][:eval_mols]
+    eval_batch = pad_graphs(eval_graphs, n_max=n_max, e_max=ctx["e_max"],
+                            ext_e_max=ctx["ext_e_max"])
+    schnet = models["model_3D"]
+    sde32 = models["SDE_3Dto2D_model"]
 
     @jax.jit
     def gen_graph(params, batch, k):
@@ -147,45 +194,61 @@ def run_study(
         return sample_graph_pc(sde32, v32, node_3d, batch, k,
                                n_steps=sample_steps)
 
-    def graph_recovery(params):
-        from sklearn.metrics import roc_auc_score
+    _, _, x_mean, adj_mean = jax.device_get(gen_graph(
+        params, jax.device_put(eval_batch),
+        jax.random.PRNGKey(ctx["seed"] + 2)))
+    nmask_flat = np.asarray(eval_batch.node_mask).reshape(
+        len(eval_graphs), n_max)
+    z_true = np.asarray(eval_batch.atom_feats[:, 0]).reshape(
+        len(eval_graphs), n_max)
+    pred_z = np.nan_to_num(np.asarray(x_mean)).argmax(-1)
+    node_acc = float((pred_z[nmask_flat] == z_true[nmask_flat]).mean())
+    adj_mean = np.asarray(adj_mean)
+    nan_frac = float(np.mean(~np.isfinite(adj_mean)))
+    if nan_frac:
+        log(f"  adjacency chain divergence: {100 * nan_frac:.1f}% non-finite")
+    adj_mean = np.nan_to_num(adj_mean, nan=0.0, posinf=1e6, neginf=-1e6)
+    true_adj = np.zeros((len(eval_graphs), n_max, n_max))
+    b = np.asarray(eval_batch.edge_src) // n_max
+    i = np.asarray(eval_batch.edge_src) % n_max
+    j = np.asarray(eval_batch.edge_dst) % n_max
+    valid = np.asarray(eval_batch.edge_mask)
+    true_adj[b[valid], i[valid], j[valid]] = 1.0
+    nmask = np.asarray(eval_batch.node_mask).reshape(len(eval_graphs), n_max)
+    pair_valid = (nmask[:, :, None] & nmask[:, None, :]
+                  & ~np.eye(n_max, dtype=bool)[None])
+    auc = float(roc_auc_score(true_adj[pair_valid].ravel(),
+                              np.asarray(adj_mean)[pair_valid].ravel()))
+    return auc, node_acc
 
-        _, _, x_mean, adj_mean = jax.device_get(gen_graph(
-            params, jax.device_put(eval_batch), jax.random.PRNGKey(seed + 2)))
-        # node-class recovery: argmax of the sampled one-hot state vs true
-        # atomic-number class (chance ~1/119)
-        nmask_flat = np.asarray(eval_batch.node_mask).reshape(
-            len(eval_graphs), n_max)
-        z_true = np.asarray(eval_batch.atom_feats[:, 0]).reshape(
-            len(eval_graphs), n_max)
-        pred_z = np.nan_to_num(np.asarray(x_mean)).argmax(-1)
-        node_acc = float((pred_z[nmask_flat] == z_true[nmask_flat]).mean())
-        adj_mean = np.asarray(adj_mean)
-        nan_frac = float(np.mean(~np.isfinite(adj_mean)))
-        if nan_frac:
-            log(f"  adjacency chain divergence: {100 * nan_frac:.1f}% non-finite")
-        # diverged chains (untrained model) -> uninformative scores, AUC ~0.5
-        adj_mean = np.nan_to_num(adj_mean, nan=0.0, posinf=1e6, neginf=-1e6)
-        ea = np.where(np.asarray(eval_batch.edge_mask),
-                      np.asarray(eval_batch.edge_feats[:, 0]) + 1.0, 0.0)
-        true_adj = np.zeros((len(eval_graphs), n_max, n_max))
-        b = np.asarray(eval_batch.edge_src) // n_max
-        i = np.asarray(eval_batch.edge_src) % n_max
-        j = np.asarray(eval_batch.edge_dst) % n_max
-        valid = np.asarray(eval_batch.edge_mask)
-        true_adj[b[valid], i[valid], j[valid]] = 1.0
-        nmask = np.asarray(eval_batch.node_mask).reshape(len(eval_graphs), n_max)
-        pair_valid = (nmask[:, :, None] & nmask[:, None, :]
-                      & ~np.eye(n_max, dtype=bool)[None])
-        auc = float(roc_auc_score(true_adj[pair_valid].ravel(),
-                                  np.asarray(adj_mean)[pair_valid].ravel()))
-        return auc, node_acc
 
+def run_study(
+    n_mols: int = 256,
+    n_max: int = 16,
+    emb_dim: int = 128,
+    steps: int = 2000,
+    batch_size: int = 64,
+    eval_mols: int = 16,
+    num_repeat: int = 8,
+    sample_steps: int = 300,
+    seed: int = 0,
+    sde_type_2dto3d: str = "VE",
+    sde_type_3dto2d: str = "VE",
+    log=print,
+):
+    ctx = train_quality_models(
+        n_mols=n_mols, n_max=n_max, emb_dim=emb_dim, steps=steps,
+        batch_size=batch_size, seed=seed, sde_type_2dto3d=sde_type_2dto3d,
+        sde_type_3dto2d=sde_type_3dto2d, log=log)
+    gen = make_gen_positions(ctx, sample_steps)
     results = {}
-    for name, (params, batch_stats) in (("untrained", untrained),
-                                        ("trained", trained)):
-        cov, mat = conformer_metrics(params, batch_stats)
-        auc, node_acc = graph_recovery(params)
+    for name in ("untrained", "trained"):
+        params, batch_stats = ctx[name]
+        cov, mat = conformer_metrics(ctx, params, batch_stats, gen,
+                                     eval_mols=eval_mols,
+                                     num_repeat=num_repeat)
+        auc, node_acc = graph_recovery(ctx, params, sample_steps=sample_steps,
+                                       eval_mols=eval_mols, log=log)
         results[name] = {"cov@0.5": cov, "mat": mat, "adj_auc": auc,
                          "node_acc": node_acc}
         log(f"{name:10s} COV@0.5={cov:.3f}  MAT={mat:.3f}  "

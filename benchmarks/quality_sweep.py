@@ -1,0 +1,92 @@
+"""Sampler-knob sweep toward the RMSD north star (VERDICT r2 #7).
+
+Trains the quality-study models once (benchmarks/quality.py), then sweeps
+the PC sampler's knobs — reverse-diffusion steps, Langevin corrector inner
+steps, corrector SNR (reference inference flags ``--steps_pos`` /
+``--corrector_steps`` / snr constant at
+pretrain_MoleculeSDE_inference_2D_to_3D_VE_VP.py:116-138) — and reports
+COV@0.5 / MAT for each setting.  ``snr`` is a traced scalar, so only the
+(sample_steps, corrector_steps) pairs recompile the chain.
+
+Artifacts:
+- stderr: README-ready markdown table of knob -> COV/MAT
+- ``benchmarks/artifacts/rmsd_sweep.npz``: the per-molecule min-RMSD
+  distribution for every config (the distribution behind MAT — the
+  "sampled-conformer RMSD distribution" artifact of BASELINE.json), plus a
+  ``summary`` JSON string.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from quality import conformer_metrics, make_gen_positions, train_quality_models  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts")
+    os.makedirs(out_dir, exist_ok=True)
+
+    steps_list = [int(s) for s in os.environ.get(
+        "SWEEP_SAMPLE_STEPS", "100,300,1000").split(",")]
+    corrector_list = [int(s) for s in os.environ.get(
+        "SWEEP_CORRECTOR", "1,2").split(",")]
+    snr_list = [float(s) for s in os.environ.get(
+        "SWEEP_SNR", "0.1,0.2,0.4").split(",")]
+
+    ctx = train_quality_models(
+        n_mols=int(os.environ.get("QUALITY_MOLS", 256)),
+        n_max=int(os.environ.get("QUALITY_NMAX", 16)),
+        emb_dim=int(os.environ.get("QUALITY_EMB", 128)),
+        steps=int(os.environ.get("QUALITY_STEPS", 2000)),
+        batch_size=int(os.environ.get("QUALITY_BATCH", 64)),
+    )
+    params, batch_stats = ctx["trained"]
+    eval_mols = int(os.environ.get("QUALITY_EVAL_MOLS", 16))
+    num_repeat = int(os.environ.get("QUALITY_REPEAT", 8))
+
+    rows = []
+    arrays = {}
+    for n_steps in steps_list:
+        for corrector in corrector_list:
+            gen = make_gen_positions(ctx, n_steps, corrector)
+            for snr in snr_list:
+                t0 = time.time()
+                cov, mat, rmsds = conformer_metrics(
+                    ctx, params, batch_stats, gen, snr=snr,
+                    eval_mols=eval_mols, num_repeat=num_repeat,
+                    collect_rmsds=True)
+                rows.append(dict(sample_steps=n_steps,
+                                 corrector_steps=corrector, snr=snr,
+                                 cov=round(cov, 4), mat=round(mat, 4)))
+                arrays[f"rmsd_s{n_steps}_c{corrector}_snr{snr}"] = rmsds
+                print(f"steps={n_steps:4d} corrector={corrector} snr={snr:.2f}"
+                      f" -> COV@0.5={cov:.3f} MAT={mat:.3f}"
+                      f"  ({time.time() - t0:.1f}s)", file=sys.stderr,
+                      flush=True)
+
+    best = max(rows, key=lambda r: (r["cov"], -r["mat"]))
+    print("\n| steps | corrector | snr | COV@0.5 | MAT |", file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
+    for r in rows:
+        mark = " **best**" if r is best else ""
+        print(f"| {r['sample_steps']} | {r['corrector_steps']} | "
+              f"{r['snr']} | {r['cov']:.3f}{mark} | {r['mat']:.3f} |",
+              file=sys.stderr)
+
+    summary = {"metric": "rmsd_knob_sweep", "rows": rows, "best": best}
+    np.savez(os.path.join(out_dir, "rmsd_sweep.npz"),
+             summary=json.dumps(summary), **arrays)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
