@@ -24,13 +24,20 @@ EMB = int(os.environ.get("BENCH_EMB", 300))
 REPS = int(os.environ.get("REPS", 10))
 
 
+def _sync(out):
+    # close the window with a device READ: on this tunneled TPU
+    # block_until_ready returns at enqueue (r3 honest-measurement fix)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(leaf.reshape(-1)[0])
+
+
 def timeit(name, fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.time()
     for _ in range(REPS):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.time() - t0) / REPS
     print(f"{name:35s} {dt*1000:8.2f} ms")
     return dt
@@ -89,12 +96,12 @@ def main():
 
     step = make_pretrain_step(models, cfg)
     state, m = step(state, batch, key, jnp.asarray(1.0))
-    jax.block_until_ready(m["loss"])  # NOTE: no D2H reads anywhere (CLAUDE.md)
+    float(m["loss"])  # sync-mode switch + drain (honest timing, r3)
     coeff = jnp.asarray(1.0)
     t0 = time.time()
     for _ in range(REPS):
         state, m = step(state, batch, key, coeff)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     print(f"{'FULL train step (fwd+bwd+adam)':35s} {(time.time()-t0)/REPS*1000:8.2f} ms")
 
 

@@ -26,13 +26,20 @@ REPS = int(os.environ.get("REPS", 10))
 SCAN_STEPS = int(os.environ.get("SCAN_STEPS", 200))
 
 
+def _sync(out):
+    # close the window with a device READ: on this tunneled TPU
+    # block_until_ready returns at enqueue (r3 honest-measurement fix)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(leaf.reshape(-1)[0])
+
+
 def timeit(name, fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.time()
     for _ in range(REPS):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.time() - t0) / REPS
     print(f"{name:45s} {dt * 1000:9.3f} ms", flush=True)
     return dt

@@ -23,9 +23,10 @@ TRACE_DIR = os.environ.get("TRACE_DIR", "/tmp/molsde_trace")
 
 
 def main():
+    b = int(os.environ.get("TRACE_BATCH", 256))
     cfg = PretrainConfig(emb_dim=300, dropout_ratio=0.0,
                          cl_similarity_metric="EBM_node_dot_prod")
-    batch = jax.device_put(synthetic_batch(num_graphs=256, n_max=32, seed=0))
+    batch = jax.device_put(synthetic_batch(num_graphs=b, n_max=32, seed=0))
     key = jax.random.PRNGKey(0)
     models, state = create_pretrain_state(cfg, batch, key)
     step = make_pretrain_step(models, cfg)

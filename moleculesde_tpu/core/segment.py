@@ -80,6 +80,62 @@ def masked_segment_max(
     )
 
 
+def edge_aggregate(
+    msg: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    num_graphs: int,
+    n_max: int,
+    edge_mask: Optional[jnp.ndarray] = None,
+    reduce: str = "sum",
+) -> jnp.ndarray:
+    """Edge->node aggregation as a per-graph one-hot matmul.
+
+    Device traces (round 3, honest profile) showed XLA lowering
+    ``segment_sum`` over the edge arrays to serialized scatter-adds —
+    ~0.45 ms each on v5e at B=256 (4.5 ms/step across the 2D GNN's
+    forward+backward).  The padded layout makes the scatter a batched
+    matmul instead: edges of graph ``b`` live in slot ``b`` (established by
+    every collator), so with per-graph one-hot destination masks
+
+        agg[b, n, f] = sum_e onehot[b, e, n] * msg[b, e, f]
+
+    runs on the MXU in ~µs, and its transpose (the backward) is a gather-
+    free matmul too.  ``reduce``: "sum" or "mean" (mean counts valid edges
+    per destination, torch_scatter semantics).
+
+    ``msg``: [B*e_max, F]; ``edge_dst``: [B*e_max] flat global indices.
+    Returns [B*n_max, F].
+    """
+    e_total = msg.shape[0]
+    e_max = e_total // num_graphs
+    f = msg.shape[-1]
+    local = (edge_dst % n_max).reshape(num_graphs, e_max)
+    if edge_mask is not None:
+        local = jnp.where(edge_mask.reshape(num_graphs, e_max), local, n_max)
+    onehot = (local[:, :, None] == jnp.arange(n_max)).astype(msg.dtype)
+    msg3 = msg.reshape(num_graphs, e_max, f)
+    agg = jnp.einsum("ben,bef->bnf", onehot, msg3)
+    if reduce == "mean":
+        count = jnp.maximum(onehot.sum(axis=1), 1.0)  # [B, n]
+        agg = agg / count[..., None]
+    return agg.reshape(num_graphs * n_max, f)
+
+
+def node_degree(
+    edge_index: jnp.ndarray,
+    num_graphs: int,
+    n_max: int,
+    edge_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Valid-edge count per node (flat [B*n_max]) without a scatter."""
+    e_max = edge_index.shape[0] // num_graphs
+    local = (edge_index % n_max).reshape(num_graphs, e_max)
+    if edge_mask is not None:
+        local = jnp.where(edge_mask.reshape(num_graphs, e_max), local, n_max)
+    onehot = (local[:, :, None] == jnp.arange(n_max))
+    return onehot.sum(axis=1).reshape(num_graphs * n_max).astype(jnp.float32)
+
+
 def segment_softmax(
     logits: jnp.ndarray,
     segment_ids: jnp.ndarray,

@@ -26,12 +26,34 @@ from flax import linen as nn
 
 from moleculesde_tpu.core.batch import ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS, GraphBatch
 from moleculesde_tpu.core.segment import (
-    masked_segment_max,
-    masked_segment_mean,
-    masked_segment_sum,
+    edge_aggregate,
+    node_degree,
     segment_softmax,
 )
 from moleculesde_tpu.models.layers import MaskedBatchNorm, xavier_uniform, zeros_init
+
+
+def _onehot_embed_sum(feats, dims, make_embed) -> jnp.ndarray:
+    """Sum of per-feature embedding lookups as ONE one-hot matmul.
+
+    The gather formulation backpropagates as a scatter-add into each tiny
+    table — serialized on TPU (~0.4 ms per table per layer at B=256 in the
+    honest round-3 device trace; the 2D GNN's bond encoders alone cost
+    ~6 ms/step).  Concatenating the one-hots ([rows, sum(dims)]) against the
+    row-stacked tables turns forward AND backward into a single MXU matmul.
+    Param layout is unchanged (per-feature ``nn.Embed`` children), so torch
+    checkpoint import is unaffected.
+    """
+    tables = []
+    onehots = []
+    for i, dim in enumerate(dims):
+        emb = make_embed(i, dim)
+        tables.append(emb.embedding)
+        idx = jnp.clip(feats[:, i], 0, dim - 1)
+        onehots.append(idx[:, None] == jnp.arange(dim))
+    table = jnp.concatenate(tables, axis=0)
+    oh = jnp.concatenate(onehots, axis=-1).astype(table.dtype)
+    return oh @ table
 
 
 class AtomEncoder(nn.Module):
@@ -41,12 +63,11 @@ class AtomEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, atom_feats: jnp.ndarray) -> jnp.ndarray:
-        out = 0.0
-        for i, dim in enumerate(ATOM_FEATURE_DIMS):
-            emb = nn.Embed(dim, self.emb_dim, embedding_init=xavier_uniform,
-                           name=f"atom_embedding_{i}")
-            out = out + emb(jnp.clip(atom_feats[:, i], 0, dim - 1))
-        return out
+        return _onehot_embed_sum(
+            atom_feats, ATOM_FEATURE_DIMS,
+            lambda i, dim: nn.Embed(dim, self.emb_dim,
+                                    embedding_init=xavier_uniform,
+                                    name=f"atom_embedding_{i}"))
 
 
 class BondEncoder(nn.Module):
@@ -56,27 +77,28 @@ class BondEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, edge_feats: jnp.ndarray) -> jnp.ndarray:
-        out = 0.0
-        for i, dim in enumerate(BOND_FEATURE_DIMS):
-            emb = nn.Embed(dim, self.emb_dim, embedding_init=xavier_uniform,
-                           name=f"bond_embedding_{i}")
-            out = out + emb(jnp.clip(edge_feats[:, i], 0, dim - 1))
-        return out
+        return _onehot_embed_sum(
+            edge_feats, BOND_FEATURE_DIMS,
+            lambda i, dim: nn.Embed(dim, self.emb_dim,
+                                    embedding_init=xavier_uniform,
+                                    name=f"bond_embedding_{i}"))
 
 
 class GINConv(nn.Module):
-    """GIN convolution with bond features (ref molecule_gnn_model.py:13-32)."""
+    """GIN convolution with bond features (ref molecule_gnn_model.py:13-32).
+
+    Edge->node aggregation runs as the per-graph one-hot matmul
+    (core.segment.edge_aggregate) — scatter-free on TPU."""
 
     emb_dim: int
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_feats, node_mask, edge_mask,
+                 num_graphs: int, n_max: int,
                  use_running_average: bool = False):
-        num_nodes = x.shape[0]
         edge_emb = BondEncoder(self.emb_dim)(edge_feats)
         msg = nn.relu(x[edge_src] + edge_emb)
-        agg = masked_segment_sum(msg, edge_dst, num_nodes, edge_mask,
-                                 indices_are_sorted=False)
+        agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask)
         eps = self.param("eps", zeros_init, (1,))
         h = (1.0 + eps) * x + agg
         h = nn.Dense(2 * self.emb_dim, kernel_init=xavier_uniform)(h)
@@ -93,18 +115,15 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_feats, node_mask, edge_mask,
+                 num_graphs: int, n_max: int,
                  use_running_average: bool = False):
-        num_nodes = x.shape[0]
         x = nn.Dense(self.emb_dim, kernel_init=xavier_uniform)(x)
         edge_emb = BondEncoder(self.emb_dim)(edge_feats)
-        deg = masked_segment_sum(
-            jnp.ones_like(edge_src, dtype=x.dtype), edge_src, num_nodes, edge_mask,
-            indices_are_sorted=False) + 1.0
+        deg = node_degree(edge_src, num_graphs, n_max, edge_mask) + 1.0
         dinv = deg ** -0.5
         norm = dinv[edge_src] * dinv[edge_dst]
         msg = norm[:, None] * nn.relu(x[edge_src] + edge_emb)
-        agg = masked_segment_sum(msg, edge_dst, num_nodes, edge_mask,
-                                 indices_are_sorted=False)
+        agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask)
         root_emb = self.param("root_emb", xavier_uniform, (1, self.emb_dim))
         return agg + nn.relu(x + root_emb) / deg[:, None]
 
@@ -118,6 +137,7 @@ class GATConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_feats, node_mask, edge_mask,
+                 num_graphs: int, n_max: int,
                  use_running_average: bool = False):
         num_nodes = x.shape[0]
         h = nn.Dense(self.heads * self.emb_dim, kernel_init=xavier_uniform)(x)
@@ -132,9 +152,9 @@ class GATConv(nn.Module):
         # preserved verbatim (molecule_gnn_model.py:99).
         alpha = segment_softmax(alpha, edge_src, num_nodes, edge_mask,
                                 indices_are_sorted=False)
-        msg = x_j * alpha[:, :, None]
-        agg = masked_segment_sum(msg, edge_dst, num_nodes, edge_mask,
-                                 indices_are_sorted=False)
+        msg = (x_j * alpha[:, :, None]).reshape(-1, self.heads * self.emb_dim)
+        agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask)
+        agg = agg.reshape(-1, self.heads, self.emb_dim)
         bias = self.param("bias", zeros_init, (self.emb_dim,))
         return agg.mean(axis=1) + bias
 
@@ -146,16 +166,16 @@ class GraphSAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_feats, node_mask, edge_mask,
+                 num_graphs: int, n_max: int,
                  use_running_average: bool = False):
-        num_nodes = x.shape[0]
         h = nn.Dense(self.emb_dim, kernel_init=xavier_uniform)(x)
         h = MaskedBatchNorm()(h, node_mask, use_running_average)
         h = nn.relu(h)
         h = nn.Dense(self.emb_dim, kernel_init=xavier_uniform)(h)
         edge_emb = BondEncoder(self.emb_dim)(edge_feats)
         msg = h[edge_src] + edge_emb
-        agg = masked_segment_mean(msg, edge_dst, num_nodes, edge_mask,
-                                  indices_are_sorted=False)
+        agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask,
+                             reduce="mean")
         denom = jnp.sqrt(jnp.sum(agg ** 2, axis=-1, keepdims=True) + 1e-24)
         return agg / jnp.maximum(denom, 1e-12)
 
@@ -187,7 +207,8 @@ class GNN2D(nn.Module):
         for layer in range(self.num_layers):
             h = conv_cls(self.emb_dim)(
                 h_list[layer], batch.edge_src, batch.edge_dst, batch.edge_feats,
-                batch.node_mask, batch.edge_mask, use_running_average)
+                batch.node_mask, batch.edge_mask, batch.num_graphs,
+                batch.n_max, use_running_average)
             h = MaskedBatchNorm()(h, batch.node_mask, use_running_average)
             if layer < self.num_layers - 1:
                 h = nn.relu(h)
@@ -211,14 +232,19 @@ class GNN2D(nn.Module):
 def graph_pool(
     node_rep: jnp.ndarray, batch: GraphBatch, pooling: str = "mean"
 ) -> jnp.ndarray:
-    """Masked graph pooling (sum/mean/max), ref molecule_gnn_model.py:215-222."""
-    seg = batch.node2graph()
+    """Masked graph pooling (sum/mean/max), ref molecule_gnn_model.py:215-222.
+
+    Node-major layout makes the segment reduction a free reshape + masked
+    axis-1 reduce (no scatter)."""
+    b, n = batch.num_graphs, batch.n_max
+    x = node_rep.reshape((b, n) + node_rep.shape[1:])
+    m = batch.node_mask.reshape(b, n)[..., None].astype(node_rep.dtype)
     if pooling == "sum":
-        return masked_segment_sum(node_rep, seg, batch.num_graphs, batch.node_mask)
+        return (x * m).sum(axis=1)
     if pooling == "mean":
-        return masked_segment_mean(node_rep, seg, batch.num_graphs, batch.node_mask)
+        return (x * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
     if pooling == "max":
-        out = masked_segment_max(node_rep, seg, batch.num_graphs, batch.node_mask)
+        out = jnp.where(m > 0, x, -jnp.inf).max(axis=1)
         return jnp.where(jnp.isfinite(out), out, 0.0)
     raise ValueError(f"Invalid graph pooling type {pooling}.")
 

@@ -28,20 +28,38 @@ ACTIVATIONS = {
 
 
 class MLP(nn.Module):
-    """Linear stack with activation between layers (ref layers/common.py:31-40)."""
+    """Linear stack with activation between layers (ref layers/common.py:31-40).
+
+    ``channel_major=True`` consumes ``[B, C, P]`` input and applies each
+    layer as ``einsum("bcp,co->bop")`` over the CHANNEL axis instead of a
+    trailing-feature Dense.  Same math, same parameter tree (``Dense_{i}``
+    children with identical kernel/bias shapes via :class:`DenseParams`),
+    different memory layout: on TPU a small trailing feature dim (the 3D->2D
+    adjacency channels, C=4..16) is lane-padded to 128 — up to 32x wasted
+    HBM traffic per pair tensor in the round-3 device trace — while
+    channel-major keeps the large ``P = N*N`` axis minor (no padding).
+    """
 
     hidden_dims: Sequence[int]
     activation: str = "relu"
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    channel_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         act = ACTIVATIONS[self.activation]
         n = len(self.hidden_dims)
         for i, dim in enumerate(self.hidden_dims):
-            x = nn.Dense(dim, kernel_init=xavier_uniform, bias_init=zeros_init,
-                         dtype=self.dtype)(x)
+            if self.channel_major:
+                kernel, bias = DenseParams(dim, x.shape[1],
+                                           name=f"Dense_{i}")()
+                dt = self.dtype or x.dtype
+                x = jnp.einsum("bcp,co->bop", x.astype(dt),
+                               kernel.astype(dt)) + bias.astype(dt)[None, :, None]
+            else:
+                x = nn.Dense(dim, kernel_init=xavier_uniform,
+                             bias_init=zeros_init, dtype=self.dtype)(x)
             if i < n - 1:
                 x = act(x)
                 if self.dropout > 0:

@@ -168,13 +168,15 @@ class EdgeNetworkDense(nn.Module):
                     name="multi_channel")(x_cat)
         x_out = jnp.tanh(mask_x(x_out, flags))
 
-        mlp_in = jnp.concatenate(
-            [jnp.transpose(attn_maps, (0, 2, 3, 1)),
-             jnp.transpose(adjc, (0, 2, 3, 1))], axis=-1
-        )  # [B, N, N, 2*C_in]
+        # channel-major pair MLP: [B, 2C, N*N] keeps the big axis minor
+        # (feature-minor [B, N, N, 2C] lane-pads C=4..16 up to 32x; r3 trace)
+        b_, c_in, n_, _ = adjc.shape
+        mlp_in = jnp.concatenate([attn_maps, adjc], axis=1
+                                 ).reshape(b_, 2 * c_in, n_ * n_)
         dims = [hidden_dim] * (self.num_linears - 1) + [self.output_dim]
-        adj_out = MLP(dims, activation="elu", name="mlp")(mlp_in)
-        adj_out = jnp.transpose(adj_out, (0, 3, 1, 2))
+        adj_out = MLP(dims, activation="elu", name="mlp",
+                      channel_major=True)(mlp_in)
+        adj_out = adj_out.reshape(b_, self.output_dim, n_, n_)
         adj_out = adj_out + jnp.swapaxes(adj_out, -1, -2)
         adj_out = mask_adjs(adj_out, flags)
         return x_out, adj_out
@@ -209,11 +211,11 @@ class EdgeScoreNetworkDense(nn.Module):
             adj_list.append(adjc)
 
         adjs = jnp.concatenate(adj_list, axis=1)          # [B, fdim, N, N]
-        adjs = jnp.transpose(adjs, (0, 2, 3, 1))          # [B, N, N, fdim]
         fdim = self.c_hid * (self.num_layers - 1) + self.c_final + self.c_init
-        score = MLP([2 * fdim, 2 * fdim, 1], activation="silu", name="final")(adjs)
-        score = score[..., 0]
-        n = score.shape[1]
+        b_, _, n, _ = adjs.shape
+        score = MLP([2 * fdim, 2 * fdim, 1], activation="silu", name="final",
+                    channel_major=True)(adjs.reshape(b_, -1, n * n))
+        score = score.reshape(b_, n, n)
         score = score * (1.0 - jnp.eye(n)[None])          # zero the diagonal
         return mask_adjs(score, flags)
 

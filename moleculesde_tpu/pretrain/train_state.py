@@ -75,6 +75,11 @@ class PretrainConfig:
     noise_on_one_hot: bool = True
     # production default: bf16 for the 2D->3D pair-feature block (HBM-bound)
     bf16_pairs: bool = True
+    # mixed precision for the pair-tensor-heavy components (honest r3 device
+    # trace: the step is bandwidth-bound on lane-padded [B,N,N,*] tensors;
+    # bf16 halves that traffic).  Params/optimizer/losses stay f32.
+    score_dtype_2dto3d: str = "bfloat16"
+    schnet_bf16: bool = True
     # contrastive (config.py:98-103)
     cl_similarity_metric: str = "EBM_node_dot_prod"
     T: float = 0.1
@@ -104,7 +109,8 @@ def build_models(cfg: PretrainConfig) -> Dict[str, Any]:
             num_interactions=cfg.schnet_num_interactions,
             num_gaussians=cfg.schnet_num_gaussians,
             cutoff=cfg.schnet_cutoff,
-            readout=cfg.schnet_readout)
+            readout=cfg.schnet_readout,
+            compute_dtype="bfloat16" if cfg.schnet_bf16 else None)
     elif cfg.model_3d == "PaiNN":
         model_3d = PaiNN(
             n_atom_basis=cfg.emb_dim,
@@ -120,7 +126,8 @@ def build_models(cfg: PretrainConfig) -> Dict[str, Any]:
         emb_dim=cfg.emb_dim, hidden_dim=cfg.hidden_dim_2dto3d,
         variant=cfg.sde_2dto3d_variant, sde_type=t23,
         beta_min=bmin23, beta_max=bmax23, num_diffusion_timesteps=n23,
-        use_extend_graph=cfg.use_extend_graph, bf16_pairs=cfg.bf16_pairs)
+        use_extend_graph=cfg.use_extend_graph, bf16_pairs=cfg.bf16_pairs,
+        score_dtype=cfg.score_dtype_2dto3d)
 
     t32, bmin32, bmax32, n32 = SDE_PRESETS_3DTO2D[cfg.sde_type_3dto2d]
     # dense-net hyperparameters hard-coded by the reference driver

@@ -104,3 +104,58 @@ def test_node_flags_and_masks():
     ma4 = mask_adjs(a4, flags)
     assert ma4.shape == (1, 2, 3, 3)
     assert float(ma4[0, :, 2].sum()) == 0.0
+
+
+def test_edge_aggregate_matches_segment_sum():
+    """One-hot-matmul aggregation (core.segment.edge_aggregate) must equal
+    the generic masked segment_sum on slot-structured edges."""
+    import numpy as np
+
+    from moleculesde_tpu.core.segment import (
+        edge_aggregate, masked_segment_mean, masked_segment_sum, node_degree)
+
+    rng = np.random.default_rng(0)
+    b, n, e, f = 3, 5, 8, 4
+    msg = jnp.asarray(rng.normal(size=(b * e, f)).astype(np.float32))
+    # edges of graph g live in slot g; destinations local to the graph
+    dst_local = rng.integers(0, n, size=(b, e))
+    mask = rng.random((b, e)) < 0.7
+    dst = jnp.asarray((dst_local + np.arange(b)[:, None] * n).reshape(-1))
+    emask = jnp.asarray(mask.reshape(-1))
+
+    ref = masked_segment_sum(msg, dst, b * n, emask, indices_are_sorted=False)
+    out = edge_aggregate(msg, dst, b, n, emask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    ref_m = masked_segment_mean(msg, dst, b * n, emask,
+                                indices_are_sorted=False)
+    out_m = edge_aggregate(msg, dst, b, n, emask, reduce="mean")
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m), atol=1e-5)
+
+    deg = node_degree(dst, b, n, emask)
+    ref_deg = masked_segment_sum(jnp.ones_like(dst, dtype=jnp.float32), dst,
+                                 b * n, emask, indices_are_sorted=False)
+    np.testing.assert_allclose(np.asarray(deg), np.asarray(ref_deg))
+
+
+def test_onehot_embed_sum_matches_gather():
+    """Atom/Bond encoders (one-hot matmul formulation) must equal the
+    per-table gather sum exactly."""
+    import jax
+    import numpy as np
+
+    from moleculesde_tpu.core.batch import ATOM_FEATURE_DIMS
+    from moleculesde_tpu.models.gnn2d import AtomEncoder
+
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(np.stack(
+        [rng.integers(0, d, size=12) for d in ATOM_FEATURE_DIMS], axis=1
+    ).astype(np.int32))
+    enc = AtomEncoder(emb_dim=8)
+    params = enc.init(jax.random.PRNGKey(0), feats)["params"]
+    out = enc.apply({"params": params}, feats)
+    ref = 0.0
+    for i, d in enumerate(ATOM_FEATURE_DIMS):
+        table = np.asarray(params[f"atom_embedding_{i}"]["embedding"])
+        ref = ref + table[np.asarray(feats[:, i])]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
