@@ -121,6 +121,32 @@ def edge_aggregate(
     return agg.reshape(num_graphs * n_max, f)
 
 
+def edge_gather(
+    x: jnp.ndarray,
+    edge_idx: jnp.ndarray,
+    num_graphs: int,
+    n_max: int,
+    edge_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-edge node gather ``x[edge_idx]`` as a one-hot matmul.
+
+    The plain gather's BACKWARD is a scatter-add into ``[B*n_max, F]`` —
+    0.46 ms each on v5e at B=256 (r3 honest trace: the 2D GNN's five
+    backward scatters cost 2.3 ms/step).  The matmul form transposes to a
+    matmul.  Masked edges return zero rows.  ``x``: [B*n_max, F];
+    ``edge_idx``: [B*e_max] flat global indices (slot-structured).
+    """
+    e_max = edge_idx.shape[0] // num_graphs
+    f = x.shape[-1]
+    local = (edge_idx % n_max).reshape(num_graphs, e_max)
+    if edge_mask is not None:
+        local = jnp.where(edge_mask.reshape(num_graphs, e_max), local, n_max)
+    onehot = (local[:, :, None] == jnp.arange(n_max)).astype(x.dtype)
+    x3 = x.reshape(num_graphs, n_max, f)
+    return jnp.einsum("ben,bnf->bef", onehot, x3).reshape(
+        num_graphs * e_max, f)
+
+
 def node_degree(
     edge_index: jnp.ndarray,
     num_graphs: int,

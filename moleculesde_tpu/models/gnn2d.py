@@ -27,6 +27,7 @@ from flax import linen as nn
 from moleculesde_tpu.core.batch import ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS, GraphBatch
 from moleculesde_tpu.core.segment import (
     edge_aggregate,
+    edge_gather,
     node_degree,
     segment_softmax,
 )
@@ -97,7 +98,8 @@ class GINConv(nn.Module):
                  num_graphs: int, n_max: int,
                  use_running_average: bool = False):
         edge_emb = BondEncoder(self.emb_dim)(edge_feats)
-        msg = nn.relu(x[edge_src] + edge_emb)
+        x_src = edge_gather(x, edge_src, num_graphs, n_max, edge_mask)
+        msg = nn.relu(x_src + edge_emb)
         agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask)
         eps = self.param("eps", zeros_init, (1,))
         h = (1.0 + eps) * x + agg
@@ -122,7 +124,8 @@ class GCNConv(nn.Module):
         deg = node_degree(edge_src, num_graphs, n_max, edge_mask) + 1.0
         dinv = deg ** -0.5
         norm = dinv[edge_src] * dinv[edge_dst]
-        msg = norm[:, None] * nn.relu(x[edge_src] + edge_emb)
+        x_src = edge_gather(x, edge_src, num_graphs, n_max, edge_mask)
+        msg = norm[:, None] * nn.relu(x_src + edge_emb)
         agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask)
         root_emb = self.param("root_emb", xavier_uniform, (1, self.emb_dim))
         return agg + nn.relu(x + root_emb) / deg[:, None]
@@ -143,8 +146,10 @@ class GATConv(nn.Module):
         h = nn.Dense(self.heads * self.emb_dim, kernel_init=xavier_uniform)(x)
         edge_emb = BondEncoder(self.heads * self.emb_dim)(edge_feats)
         att = self.param("att", xavier_uniform, (1, self.heads, 2 * self.emb_dim))
-        x_i = h[edge_dst].reshape(-1, self.heads, self.emb_dim)
-        x_j = h[edge_src].reshape(-1, self.heads, self.emb_dim)
+        x_i = edge_gather(h, edge_dst, num_graphs, n_max, edge_mask
+                          ).reshape(-1, self.heads, self.emb_dim)
+        x_j = edge_gather(h, edge_src, num_graphs, n_max, edge_mask
+                          ).reshape(-1, self.heads, self.emb_dim)
         x_j = x_j + edge_emb.reshape(-1, self.heads, self.emb_dim)
         alpha = (jnp.concatenate([x_i, x_j], axis=-1) * att).sum(-1)
         alpha = nn.leaky_relu(alpha, self.negative_slope)
@@ -173,7 +178,7 @@ class GraphSAGEConv(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(self.emb_dim, kernel_init=xavier_uniform)(h)
         edge_emb = BondEncoder(self.emb_dim)(edge_feats)
-        msg = h[edge_src] + edge_emb
+        msg = edge_gather(h, edge_src, num_graphs, n_max, edge_mask) + edge_emb
         agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask,
                              reduce="mean")
         denom = jnp.sqrt(jnp.sum(agg ** 2, axis=-1, keepdims=True) + 1e-24)

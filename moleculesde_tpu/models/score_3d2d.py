@@ -85,6 +85,10 @@ class StackedEdgeLayers(nn.Module):
     out_dim: int
     num_heads: int = 4
     node_3d_dim: int = 0
+    # bf16 compute for the q/k MLPs and the [B,C,H,N,N] attention tensors —
+    # the bank's dominant HBM traffic (r3 honest trace: ~2 ms per layer in
+    # f32 at B=256).  Params and the returned maps stay f32.
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, adjc, node_3d_repr=None):
@@ -113,10 +117,16 @@ class StackedEdgeLayers(nn.Module):
         wk2 = stacked("k_kernel_1", (c_dim, a2, a2))
         bk2 = self.param("k_bias_1", zeros_init, (c_dim, a2))
 
-        q = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_in, wq1) + bq1[None, :, None])
-        q = jnp.einsum("bcna,cao->bcno", q, wq2) + bq2[None, :, None]
-        k = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_in, wk1) + bk1[None, :, None])
-        k = jnp.einsum("bcna,cao->bcno", k, wk2) + bk2[None, :, None]
+        dt = self.dtype or qk_in.dtype
+        qk_c = qk_in.astype(dt)
+        q = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_c, wq1.astype(dt))
+                     + bq1.astype(dt)[None, :, None])
+        q = jnp.einsum("bcna,cao->bcno", q, wq2.astype(dt)) \
+            + bq2.astype(dt)[None, :, None]
+        k = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_c, wk1.astype(dt))
+                     + bk1.astype(dt)[None, :, None])
+        k = jnp.einsum("bcna,cao->bcno", k, wk2.astype(dt)) \
+            + bk2.astype(dt)[None, :, None]
 
         # chunked heads exactly as the reference's split/cat
         # (edge_network_dense.py:66-79): chunk width attn_dim // num_heads.
@@ -125,8 +135,9 @@ class StackedEdgeLayers(nn.Module):
         h = qdim // ds
         qh = q.reshape(b, c_dim, n, h, ds)
         kh = k.reshape(b, c_dim, n, h, ds)
-        a = jnp.tanh(jnp.einsum("bcnhd,bcmhd->bchnm", qh, kh) / math.sqrt(ds))
-        a = a.mean(axis=2)
+        a = jnp.tanh(jnp.einsum("bcnhd,bcmhd->bchnm", qh, kh)
+                     / jnp.asarray(math.sqrt(ds), dt))
+        a = a.astype(jnp.float32).mean(axis=2)
         a = (a + jnp.swapaxes(a, -1, -2)) / 2.0
 
         # dense-GCN V per channel: D^-1/2 (A_c + I) D^-1/2 X W_c + b_c
@@ -153,12 +164,13 @@ class EdgeNetworkDense(nn.Module):
     output_dim: int  # C_out adjacency channels
     num_heads: int = 4
     node_3d_dim: int = 0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, adjc, flags, node_3d_repr=None):
         v, attn_maps = StackedEdgeLayers(
             self.input_dim, self.attn_dim, self.conv_output_dim,
-            self.num_heads, self.node_3d_dim, name="attn",
+            self.num_heads, self.node_3d_dim, dtype=self.dtype, name="attn",
         )(x, adjc, node_3d_repr)
         b, c, n, out = v.shape
         x_cat = jnp.transpose(v, (0, 2, 1, 3)).reshape(b, n, c * out)
@@ -195,6 +207,7 @@ class EdgeScoreNetworkDense(nn.Module):
     adim: int = 16
     num_heads: int = 4
     node_3d_dim: int = 0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, adj, flags, node_3d_repr=None):
@@ -206,7 +219,8 @@ class EdgeScoreNetworkDense(nn.Module):
             c_out = self.c_final if i == self.num_layers - 1 else self.c_hid
             x, adjc = EdgeNetworkDense(
                 self.num_linears, attn_dim, self.nhid, c_in, c_out,
-                self.num_heads, self.node_3d_dim, name=f"layer_{i}",
+                self.num_heads, self.node_3d_dim, dtype=self.dtype,
+                name=f"layer_{i}",
             )(x, adjc, flags, node_3d_repr)
             adj_list.append(adjc)
 
@@ -267,6 +281,8 @@ class SDEModel3Dto2D(nn.Module):
     num_heads: int = 4
     variant: int = 1
     noise_mode: str = "discrete"
+    # bf16 attention bank (params/losses f32); see StackedEdgeLayers.dtype
+    bf16_attn: bool = True
     sde_type: str = "VE"
     beta_min: float = 0.1
     beta_max: float = 1.0
@@ -307,6 +323,7 @@ class SDEModel3Dto2D(nn.Module):
             nhid=self.nhid, num_layers=self.num_layers, num_linears=self.num_linears,
             c_init=self.c_init, c_hid=self.c_hid, c_final=self.c_final,
             adim=self.adim, num_heads=self.num_heads, node_3d_dim=inject,
+            dtype=jnp.bfloat16 if self.bf16_attn else None,
             name="edge_score_network",
         )(cond, adj, flags, node_3d)
         net_x = NodeScoreNetworkDense(
