@@ -13,6 +13,7 @@ import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 from flax import struct
@@ -156,24 +157,50 @@ class PretrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: PretrainConfig) -> optax.GradientTransformation:
     """Adam with per-component LR groups (ref pretrain_MoleculeSDE.py:331-337):
-    2D scale for {model_2D, SDE_2Dto3D_model}, 3D scale for the rest."""
-    def label_fn(params):
+    2D scale for {model_2D, SDE_2Dto3D_model}, 3D scale for the rest.
+
+    Flattened implementation: the param pytree has 257 leaves, so a
+    tree-wise optax chain stages ~2,500 tiny element-wise HLO ops per step
+    (a measurable slice of the honest 34 ms step, r3 device trace).  Here
+    every leaf is raveled into ONE vector, Adam runs as a handful of fused
+    vector ops, and the two LR groups become a per-element scale vector
+    built once at init.  Math identical to
+    ``chain(add_decayed_weights, scale_by_adam, scale(-lr*group_scale))``.
+    """
+    b1, b2, eps = 0.9, 0.999, 1e-8  # optax.scale_by_adam / torch.optim.Adam
+
+    def lr_scale_tree(params):
         return {
-            k: ("g2d" if k in ("model_2D", "SDE_2Dto3D_model") else "g3d")
-            for k in params
+            k: jax.tree_util.tree_map(
+                lambda p: jnp.full(p.shape, cfg.gnn_2d_lr_scale
+                                   if k in ("model_2D", "SDE_2Dto3D_model")
+                                   else cfg.gnn_3d_lr_scale, p.dtype), v)
+            for k, v in params.items()
         }
 
-    def adam(scale):
-        return optax.chain(
-            optax.add_decayed_weights(cfg.decay) if cfg.decay else optax.identity(),
-            optax.scale_by_adam(),
-            optax.scale(-cfg.lr * scale),
-        )
+    def init_fn(params):
+        flat, _ = jax.flatten_util.ravel_pytree(params)
+        scale, _ = jax.flatten_util.ravel_pytree(lr_scale_tree(params))
+        return {"mu": jnp.zeros_like(flat), "nu": jnp.zeros_like(flat),
+                "count": jnp.zeros((), jnp.int32), "lr_scale": scale}
 
-    return optax.multi_transform(
-        {"g2d": adam(cfg.gnn_2d_lr_scale), "g3d": adam(cfg.gnn_3d_lr_scale)},
-        label_fn,
-    )
+    def update_fn(grads, state, params=None):
+        g, unravel = jax.flatten_util.ravel_pytree(grads)
+        if cfg.decay:
+            p, _ = jax.flatten_util.ravel_pytree(params)
+            g = g + cfg.decay * p
+        count = state["count"] + 1
+        mu = b1 * state["mu"] + (1 - b1) * g
+        nu = b2 * state["nu"] + (1 - b2) * g * g
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1 - b1 ** c)
+        nu_hat = nu / (1 - b2 ** c)
+        upd = -cfg.lr * state["lr_scale"] * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        new_state = {"mu": mu, "nu": nu, "count": count,
+                     "lr_scale": state["lr_scale"]}
+        return unravel(upd), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def create_pretrain_state(

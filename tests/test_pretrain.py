@@ -164,3 +164,53 @@ def test_ebm_node_dot_prod_masked_partner_zero_weight():
         l1, _ = do_cl(x, y, k, "EBM_node_dot_prod", mask=mask)
         l2, _ = do_cl(x, y_dirty, k, "EBM_node_dot_prod", mask=mask)
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_flattened_adam_matches_optax_groups():
+    """The flattened 2-group Adam (train_state.make_optimizer) must produce
+    the same updates as the tree-wise optax formulation it replaced."""
+    import optax
+
+    from moleculesde_tpu.pretrain.train_state import make_optimizer
+
+    cfg = PretrainConfig(lr=1e-3, decay=0.01, gnn_2d_lr_scale=1.0,
+                         gnn_3d_lr_scale=0.5)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "model_2D": {"w": jax.random.normal(key, (3, 4)),
+                     "b": jnp.ones((4,))},
+        "model_3D": {"w": jax.random.normal(jax.random.PRNGKey(1), (2, 2))},
+        "SDE_2Dto3D_model": {"k": jnp.full((5,), 0.3)},
+        "SDE_3Dto2D_model": {"k": jnp.full((2, 3), -0.7)},
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: jax.random.normal(jax.random.PRNGKey(2), p.shape), params)
+
+    def label_fn(p):
+        return {k: ("g2d" if k in ("model_2D", "SDE_2Dto3D_model") else "g3d")
+                for k in p}
+
+    def adam(scale):
+        return optax.chain(optax.add_decayed_weights(cfg.decay),
+                           optax.scale_by_adam(),
+                           optax.scale(-cfg.lr * scale))
+
+    ref_tx = optax.multi_transform(
+        {"g2d": adam(cfg.gnn_2d_lr_scale), "g3d": adam(cfg.gnn_3d_lr_scale)},
+        label_fn)
+    tx = make_optimizer(cfg)
+
+    ref_state = ref_tx.init(params)
+    state = tx.init(params)
+    p_ref, p_new = params, params
+    for step in range(3):
+        ref_upd, ref_state = ref_tx.update(grads, ref_state, p_ref)
+        upd, state = tx.update(grads, state, p_new)
+        for path in (("model_2D", "w"), ("model_3D", "w"),
+                     ("SDE_2Dto3D_model", "k"), ("SDE_3Dto2D_model", "k")):
+            a = np.asarray(ref_upd[path[0]][path[1]])
+            b = np.asarray(upd[path[0]][path[1]])
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7,
+                                       err_msg=f"step {step} {path}")
+        p_ref = jax.tree_util.tree_map(lambda p, u: p + u, p_ref, ref_upd)
+        p_new = jax.tree_util.tree_map(lambda p, u: p + u, p_new, upd)
