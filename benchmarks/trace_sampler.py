@@ -30,9 +30,15 @@ EMB = int(os.environ.get("BENCH_EMB", 300))
 SCAN_STEPS = int(os.environ.get("SCAN_STEPS", 50))
 
 
+SCORE_DTYPE = os.environ.get("SCORE_DTYPE", "float32")
+LAYOUT = os.environ.get("SAMPLER_LAYOUT", "channel")
+
+
 def main():
     print(f"devices: {jax.devices()}")
-    model = SDEModel2Dto3D(emb_dim=EMB, hidden_dim=32, variant=1)
+    print(f"score_dtype={SCORE_DTYPE} layout={LAYOUT}")
+    model = SDEModel2Dto3D(emb_dim=EMB, hidden_dim=32, variant=1,
+                           score_dtype=SCORE_DTYPE)
     batch = jax.device_put(synthetic_batch(num_graphs=BATCH, n_max=N_MAX, seed=1))
     key = jax.random.PRNGKey(0)
     node_2d = jax.random.normal(key, (batch.num_nodes, EMB)) * 0.1
@@ -42,7 +48,7 @@ def main():
                  "batch_stats": variables["batch_stats"]}
 
     f = jax.jit(lambda v, r, k: sample_positions_pc(
-        model, v, r, batch, k, n_steps=SCAN_STEPS))
+        model, v, r, batch, k, n_steps=SCAN_STEPS, layout=LAYOUT))
     out = f(variables, node_2d, key)
     jax.block_until_ready(out)
 

@@ -47,11 +47,13 @@ class MLP(nn.Module):
     channel_major: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 channel_major: Optional[bool] = None) -> jnp.ndarray:
         act = ACTIVATIONS[self.activation]
         n = len(self.hidden_dims)
+        cm = self.channel_major if channel_major is None else channel_major
         for i, dim in enumerate(self.hidden_dims):
-            if self.channel_major:
+            if cm:
                 kernel, bias = DenseParams(dim, x.shape[1],
                                            name=f"Dense_{i}")()
                 dt = self.dtype or x.dtype

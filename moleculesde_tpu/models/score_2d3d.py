@@ -33,7 +33,8 @@ from moleculesde_tpu.core.segment import masked_segment_mean
 from moleculesde_tpu.models.layers import (
     MLP, DenseParams, MaskedBatchNorm, PairMaskedBatchNorm,
     xavier_uniform, zeros_init)
-from moleculesde_tpu.ops.fourier import gaussian_fourier_projection
+from moleculesde_tpu.ops.fourier import (
+    gaussian_fourier_projection, gaussian_fourier_projection_cm)
 from moleculesde_tpu.ops.frames import EPSILON
 from moleculesde_tpu.ops.pair_block import pair_relu_project
 from moleculesde_tpu.sde import SDE, make_sde
@@ -140,7 +141,13 @@ class DenseGATLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, edge_attr, pair_mask, deterministic: bool = True):
+    def __call__(self, x, edge_attr, pair_mask, deterministic: bool = True,
+                 channel_major: bool = False):
+        """``channel_major=False``: ``edge_attr`` is ``[B, N, N, H]``
+        (feature-minor).  ``channel_major=True``: ``edge_attr`` is
+        ``[B, H, N*N]`` — on TPU the H=32 minor dim lane-pads 4x to 128,
+        so the cm layout quarters the HBM traffic of every pair-resident
+        tensor in this layer (same parameters, same math)."""
         h, c = self.n_head, self.hidden_dim // self.n_head
         b, n, _ = x.shape
 
@@ -148,31 +155,44 @@ class DenseGATLayer(nn.Module):
             return nn.Dense(feat, kernel_init=xavier_uniform, name=name,
                             dtype=self.dtype)
 
-        q = dense(h * c, "lin_query")(x)
-        k = dense(h * c, "lin_key")(x)
-        v = dense(h * c, "lin_value")(x)
-        e = dense(h * c, "lin_edge")(edge_attr)
-        q = q.reshape(b, n, h, c)
-        k = k.reshape(b, n, h, c)
-        v = v.reshape(b, n, h, c)
-        e = e.reshape(b, n, n, h, c)
+        qk_, qb_ = DenseParams(h * c, x.shape[-1], name="lin_query")()
+        kk_, kb_ = DenseParams(h * c, x.shape[-1], name="lin_key")()
+        vk_, vb_ = DenseParams(h * c, x.shape[-1], name="lin_value")()
+        ek, eb = DenseParams(h * c, edge_attr.shape[1] if channel_major
+                             else edge_attr.shape[-1], name="lin_edge")()
+        dt = self.dtype or x.dtype
 
-        # logits[b, h, s, d] = q_d . k_s + q_d . e_sd  (f32 for the softmax;
-        # CPU XLA lacks bf16xbf16->f32 dots, so upcast after the einsum)
-        logits = jnp.einsum("bdhc,bshc->bhsd", q, k).astype(jnp.float32)
-        logits = logits + jnp.einsum("bdhc,bsdhc->bhsd", q, e
-                                     ).astype(jnp.float32)
-        logits = logits / jnp.sqrt(float(c))
-        neg = jnp.finfo(logits.dtype).min
-        logits = jnp.where(pair_mask[:, None, :, :], logits, neg)
-        alpha = jax.nn.softmax(logits, axis=2)  # over sources s (f32)
-        alpha = alpha * pair_mask[:, None, :, :]  # isolated dests -> all-zero rows
-        alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
-        alpha = alpha.astype(v.dtype)
+        if channel_major:
+            out = self._attend_cm(
+                x, qk_, qb_, kk_, kb_, vk_, vb_, edge_attr, ek, eb,
+                pair_mask, deterministic, dt)
+        else:
+            xd = x.astype(dt)
+            q = xd @ qk_.astype(dt) + qb_.astype(dt)
+            k = xd @ kk_.astype(dt) + kb_.astype(dt)
+            v = xd @ vk_.astype(dt) + vb_.astype(dt)
+            e = edge_attr.astype(dt) @ ek.astype(dt) + eb.astype(dt)
+            q4 = q.reshape(b, n, h, c)
+            k4 = k.reshape(b, n, h, c)
+            v4 = v.reshape(b, n, h, c)
+            e5 = e.reshape(b, n, n, h, c)
 
-        out = jnp.einsum("bhsd,bshc->bdhc", alpha, v)
-        out = out + jnp.einsum("bhsd,bsdhc->bdhc", alpha, e)
-        out = out.reshape(b, n, h * c)
+            # logits[b, h, s, d] = q_d . k_s + q_d . e_sd  (f32 softmax;
+            # CPU XLA lacks bf16xbf16->f32 dots, so upcast after the einsum)
+            logits = jnp.einsum("bdhc,bshc->bhsd", q4, k4).astype(jnp.float32)
+            logits = logits + jnp.einsum("bdhc,bsdhc->bhsd", q4, e5
+                                         ).astype(jnp.float32)
+            logits = logits / jnp.sqrt(float(c))
+            neg = jnp.finfo(logits.dtype).min
+            logits = jnp.where(pair_mask[:, None, :, :], logits, neg)
+            alpha = jax.nn.softmax(logits, axis=2)  # over sources s (f32)
+            alpha = alpha * pair_mask[:, None, :, :]  # isolated dests -> zero
+            alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
+            alpha = alpha.astype(v.dtype)
+
+            out = jnp.einsum("bhsd,bshc->bdhc", alpha, v4)
+            out = out + jnp.einsum("bhsd,bsdhc->bdhc", alpha, e5)
+            out = out.reshape(b, n, h * c)
         mha = out + dense(h * c, "lin_skip")(x)
 
         x = x + nn.LayerNorm(dtype=self.dtype)(mha)
@@ -182,6 +202,49 @@ class DenseGATLayer(nn.Module):
         ffn = dense(self.hidden_dim)(ffn)
         x = x + nn.LayerNorm(dtype=self.dtype)(ffn)
         return x
+
+    def _attend_cm(self, x, qk_, qb_, kk_, kb_, vk_, vb_, edge_cm, ek, eb,
+                   pair_mask, deterministic, dt):
+        """Attention with pair tensors in ``[B, C, N*N]`` channel-major
+        layout (minor dim N*N — no lane padding).  Identical semantics to
+        the feature-minor branch: the per-head logit ``q_d . (k_s + e_sd)``
+        is an elementwise product on [B, H, N, N] channel planes summed per
+        head (channels are blocked per head: head(C) = C // c).
+
+        Copy-pressure notes from the compiled-HLO copy inventory
+        (~73 copies/eval before): q/k/v fused into ONE dot (three separate
+        ``bon`` einsums each materialized a [B,hd,N] transpose copy), and
+        the head-sum / head-broadcast run as reshape-sum / broadcast-repeat
+        instead of one-hot selector matmuls (each selector dot forced
+        [B,8,NN] f32 layout round-trip copies)."""
+        h, c = self.n_head, self.hidden_dim // self.n_head
+        hd = h * c
+        b, n, _ = x.shape
+
+        xd = x.astype(dt)
+        wqkv = jnp.concatenate([qk_, kk_, vk_], axis=1).astype(dt)  # [F,3hd]
+        bqkv = jnp.concatenate([qb_, kb_, vb_]).astype(dt)
+        qkv = (jnp.einsum("bnf,fo->bon", xd, wqkv)
+               + bqkv[None, :, None])                # [B, 3hd, N]
+        qT, kT, vT = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
+        e_cm = (jnp.einsum("bcp,co->bop", edge_cm.astype(dt), ek.astype(dt))
+                + eb.astype(dt)[None, :, None])      # [B, hd, NN]
+        e4 = e_cm.reshape(b, hd, n, n)               # [b, C, s, d]
+
+        ke = (kT[:, :, :, None] + e4) * qT[:, :, None, :]   # [b, C, s, d]
+        logits = (ke.reshape(b, h, c, n, n).sum(axis=2)     # head-blocked sum
+                  .astype(jnp.float32) / jnp.sqrt(float(c)))
+        neg = jnp.finfo(logits.dtype).min
+        l4 = jnp.where(pair_mask[:, None, :, :], logits, neg)
+        alpha = jax.nn.softmax(l4, axis=2)           # over sources s (f32)
+        alpha = alpha * pair_mask[:, None, :, :]
+        alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
+        alpha_full = jnp.broadcast_to(
+            alpha.astype(dt)[:, :, None], (b, h, c, n, n)).reshape(b, hd, n, n)
+        # reduce over sources with the node axis ordered [B, d, C] directly
+        msg = jnp.einsum("bcsd->bdc",
+                         alpha_full * (vT[:, :, :, None] + e4))  # [B, N, hd]
+        return msg
 
 
 class EquivariantScoreNetwork(nn.Module):
@@ -200,12 +263,13 @@ class EquivariantScoreNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, node_attr, edge_attr, pair_mask, equivariant_basis,
-                 deterministic: bool = True):
-        """node_attr [B,N,H]; edge_attr [B,N,N,H]; pair_mask [B,N,N] bool;
-        ``equivariant_basis`` is the component-structured (diff, cross,
-        vertical) triple from :func:`dense_frames` — each a 3-tuple of
-        [B, N, N] planes (see the layout note there).  Returns gradient
-        [B, N, 3]."""
+                 deterministic: bool = True, channel_major: bool = False):
+        """node_attr [B,N,H]; edge_attr [B,N,N,H] feature-minor, or
+        [B,H,N*N] when ``channel_major`` (lane-padding-free pair layout —
+        see DenseGATLayer); pair_mask [B,N,N] bool; ``equivariant_basis``
+        is the component-structured (diff, cross, vertical) triple from
+        :func:`dense_frames` — each a 3-tuple of [B, N, N] planes (see the
+        layout note there).  Returns gradient [B, N, 3]."""
         basis = equivariant_basis  # ((dx,dy,dz), (cx,cy,cz), (vx,vy,vz))
         b, n, _ = node_attr.shape
         hiddens = []
@@ -221,7 +285,8 @@ class EquivariantScoreNetwork(nn.Module):
             for conv_idx in range(self.num_convs):
                 hidden = DenseGATLayer(self.hidden_dim, self.n_head,
                                        self.dropout, dtype=self.dtype)(
-                    conv_input, edge_attr, pair_mask, deterministic)
+                    conv_input, edge_attr, pair_mask, deterministic,
+                    channel_major=channel_major)
                 if conv_idx < self.num_convs - 1:
                     hidden = nn.silu(hidden)
                 if self.short_cut and hidden.shape == conv_input.shape:
@@ -242,7 +307,9 @@ class EquivariantScoreNetwork(nn.Module):
             wh, _ = DenseParams(self.hidden_coff_dim, node_feature.shape[-1],
                                 use_bias=False,
                                 name=f"basis_node_{module_idx}")()
-            we, be = DenseParams(self.hidden_coff_dim, edge_attr.shape[-1],
+            we, be = DenseParams(self.hidden_coff_dim,
+                                 edge_attr.shape[1] if channel_major
+                                 else edge_attr.shape[-1],
                                  name=f"basis_edge_{module_idx}")()
             wo, bo = DenseParams(3, self.hidden_coff_dim,
                                  name=f"basis_out_{module_idx}")()
@@ -265,7 +332,36 @@ class EquivariantScoreNetwork(nn.Module):
                     for bx in zip(*basis)  # (dx,cx,vx), (dy,cy,vy), (dz,cz,vz)
                 ]
 
-            mixed = jax.checkpoint(coff_mix)(
+            def coff_mix_cm(node_f, edge_cm, basis, maskf, wh, we, be, wo, bo):
+                # channel-major form of coff_mix: the [B, coff_dim, N*N]
+                # slab keeps the pair axis minor (the feature-minor slab is
+                # 128-wide so unpadded, but every other tensor here is)
+                dt = self.dtype or node_f.dtype
+                cd = wh.shape[1]
+                # [B, coff_dim, N] straight from the dot (no transpose copy)
+                hT = jnp.einsum("bnf,fc->bcn", node_f.astype(dt),
+                                wh.astype(dt))
+                e_part = (jnp.einsum("bcp,co->bop", edge_cm.astype(dt),
+                                     we.astype(dt))
+                          + be.astype(dt)[None, :, None]).reshape(b, cd, n, n)
+                coff = jax.nn.silu(
+                    hT[:, :, :, None] + hT[:, :, None, :] + e_part)
+                c = jnp.einsum("bfsd,fc->cbsd", coff, wo.astype(dt)
+                               ).astype(jnp.float32) \
+                    + bo[:, None, None, None]
+                return [
+                    ((c[0] * bx[0] + c[1] * bx[1] + c[2] * bx[2]) * maskf
+                     ).sum(axis=1)
+                    for bx in zip(*basis)
+                ]
+
+            # checkpoint only on the training (feature) path: the cm path is
+            # sampler-only (never differentiated) and the remat boundary
+            # forces two 16 MB layout copies per eval (HLO copy inventory)
+            mix_fn = coff_mix if not channel_major else coff_mix_cm
+            if not channel_major:
+                mix_fn = jax.checkpoint(mix_fn)
+            mixed = mix_fn(
                 node_feature, edge_attr, basis, maskf, wh, we, be, wo, bo)
             # EquiLayer(aggr="mean"): mean over sources s at destination d
             grad_comps = [g + m / count for g, m in zip(grad_comps, mixed)]
@@ -332,7 +428,9 @@ class SDEModel2Dto3D(nn.Module):
         dt = jnp.bfloat16 if self.score_dtype == "bfloat16" else None
         self.coff_fourier_W = self.param(
             "coff_fourier_W", nn.initializers.normal(1.0), (h,))
-        self.coff_mlp = nn.Dense(h, kernel_init=xavier_uniform, dtype=dt)
+        # raw kernel/bias (identical param tree to nn.Dense) so the
+        # channel-major path can apply it as an einsum over the channel axis
+        self.coff_mlp = DenseParams(h, 4 * h)
         self.project = MLP([h, h], activation="silu", dtype=dt)
         if self.variant == 2:
             self.dist_fourier_W = self.param(
@@ -371,6 +469,7 @@ class SDEModel2Dto3D(nn.Module):
         node_2d_repr: jnp.ndarray,
         batch: GraphBatch,
         use_running_average: bool = True,
+        layout: str = "feature",
     ) -> Dict[str, jnp.ndarray]:
         """Position-independent conditioning features.
 
@@ -412,6 +511,10 @@ class SDEModel2Dto3D(nn.Module):
             edge_attr_2d = edge_attr_2d + bond_emb
 
         node_attr = self.node_emb(h2d)
+        if layout == "channel":
+            # [B, N, N, H] -> [B, H, N*N]: pair tensors with the big axis
+            # minor are lane-padding-free on TPU (score_from_cond_cm)
+            edge_attr_2d = edge_attr_2d.reshape(b, n * n, -1).transpose(0, 2, 1)
         return {"edge_attr_2d": edge_attr_2d, "node_attr": node_attr,
                 "pair_mask": pair_mask}
 
@@ -434,15 +537,24 @@ class SDEModel2Dto3D(nn.Module):
         basis, coff_s, coff_d, (pseudo_sin, pseudo_cos) = dense_frames(pos3)
 
         w_coff = jax.lax.stop_gradient(self.coff_fourier_W)  # frozen (ref GFP l.62)
+        wm, bm = self.coff_mlp()
+        cdt = jnp.bfloat16 if self.score_dtype == "bfloat16" else jnp.float32
 
-        def coff_embed(coff):
-            # embeds components 0 and 2 (component 1 is |.|-folded; ref l.111-118)
-            e0 = gaussian_fourier_projection(coff[0][..., None], w_coff)
-            e2 = gaussian_fourier_projection(coff[2][..., None], w_coff)
-            return jnp.concatenate([e0, e2], axis=-1)
-
-        embed_s = self.coff_mlp(coff_embed(coff_s))
-        embed_d = self.coff_mlp(coff_embed(coff_d))
+        # GFP on coff_s only (components 0 and 2; component 1 is |.|-folded,
+        # ref l.111-118).  dense_frames symmetry under the s<->d pair swap:
+        # diff and cross flip sign, vert is even, so coff_d = pair-transpose
+        # of coff_s with component 0 negated — embed_d is the SAME sin/cos
+        # slab pushed through coff_mlp with the sin(c0) weight block negated
+        # (sin odd, cos even), then pair-transposed.  Halves the dominant
+        # transcendental cost of both the train step and the sampler.
+        e0 = gaussian_fourier_projection(coff_s[0][..., None], w_coff)
+        e2 = gaussian_fourier_projection(coff_s[2][..., None], w_coff)
+        full = jnp.concatenate([e0, e2], axis=-1).astype(cdt)  # [B,N,N,4h]
+        wm_c = wm.astype(cdt)      # rows: [sin0 | cos0 | sin2 | cos2]
+        wm_neg = jnp.concatenate([-wm_c[:h], wm_c[h:]], axis=0)
+        bm_c = bm.astype(cdt)
+        embed_s = full @ wm_c + bm_c
+        embed_d = (full @ wm_neg).swapaxes(1, 2) + bm_c
         edge_embed = jnp.concatenate(
             [pseudo_sin[..., None], pseudo_cos[..., None], embed_s, embed_d],
             axis=-1)
@@ -463,6 +575,77 @@ class SDEModel2Dto3D(nn.Module):
 
         out = self.score_network(
             cond["node_attr"], edge_attr, pair_mask, basis, deterministic)
+        return out["gradient"].reshape(b * n, 3)
+
+    def score_from_cond_cm(
+        self,
+        cond: Dict[str, jnp.ndarray],
+        batch: GraphBatch,
+        pos: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Channel-major twin of :meth:`score_from_cond` (same parameters,
+        same math): every pair-resident tensor is ``[B, C, N*N]`` with the
+        large pair axis minor instead of ``[B, N, N, C]``.
+
+        Why: on TPU HBM arrays pad the minor dim to 128 lanes and elementwise
+        ops run one lane per minor element, so the feature-minor layout at
+        C=32 wastes 4x bandwidth AND computes at 25% VPU lane utilization —
+        the sampler device trace shows two such fusions carrying 58% of the
+        PC chain.  ``cond`` must come from ``precompute_conditioning(...,
+        layout="channel")``."""
+        h = self.hidden_dim
+        b, n = batch.num_graphs, batch.n_max
+        nn_ = n * n
+        pair_mask = cond["pair_mask"]
+        edge2d_cm = cond["edge_attr_2d"]  # [B, H, N*N]
+        assert edge2d_cm.ndim == 3, "cond must be precomputed with layout='channel'"
+        pos3 = pos.reshape(b, n, 3)
+
+        basis, coff_s, coff_d, (pseudo_sin, pseudo_cos) = dense_frames(pos3)
+
+        w_coff = jax.lax.stop_gradient(self.coff_fourier_W)
+        wm, bm = self.coff_mlp()
+        cdt = jnp.bfloat16 if self.score_dtype == "bfloat16" else jnp.float32
+
+        # GFP sin/cos ONCE, on coff_s only.  dense_frames symmetry under the
+        # s<->d pair swap: diff flips sign, cross flips sign, vert is even,
+        # so coff_d = pair-transpose(coff_s) with component 0 negated.  GFP
+        # embeds components 0 and 2, hence embed_d = pair-transpose of the
+        # SAME sin/cos slab pushed through coff_mlp with the sin(c0) weight
+        # block negated (sin odd, cos even).  Halves the chain's dominant
+        # transcendental cost (device trace: 444us/step of sine fusions).
+        e0 = gaussian_fourier_projection_cm(coff_s[0].reshape(b, nn_), w_coff)
+        e2 = gaussian_fourier_projection_cm(coff_s[2].reshape(b, nn_), w_coff)
+        full = jnp.concatenate([e0, e2], axis=1).astype(cdt)  # [B, 4h, NN]
+        wm_c = wm.astype(cdt)      # rows: [sin0 | cos0 | sin2 | cos2]
+        wm_neg = jnp.concatenate([-wm_c[:h], wm_c[h:]], axis=0)
+        bm_c = bm.astype(cdt)[None, :, None]
+        embed_s = jnp.einsum("bcp,co->bop", full, wm_c) + bm_c
+        embed_d = (jnp.einsum("bcp,co->bop", full, wm_neg)
+                   ).reshape(b, h, n, n).swapaxes(2, 3).reshape(b, h, nn_) \
+            + bm_c
+        edge_embed = jnp.concatenate(
+            [pseudo_sin.reshape(b, 1, nn_).astype(cdt),
+             pseudo_cos.reshape(b, 1, nn_).astype(cdt), embed_s, embed_d],
+            axis=1)
+        frame_inv = self.project(edge_embed, channel_major=True)
+
+        if self.variant == 2:
+            sq = sum((pos3[..., k][:, :, None] - pos3[..., k][:, None, :]) ** 2
+                     for k in range(3))
+            dist = jnp.sqrt(sq + _SQRT_GUARD).reshape(b, nn_)
+            w_dist = jax.lax.stop_gradient(self.dist_fourier_W)
+            dist_emb = gaussian_fourier_projection_cm(dist, w_dist)
+            dist_inv = self.input_mlp(dist_emb, channel_major=True)
+            edge_attr = dist_inv * edge2d_cm + frame_inv
+        else:
+            edge_attr = edge2d_cm + frame_inv
+        edge_attr = edge_attr * pair_mask.reshape(b, 1, nn_)
+
+        out = self.score_network(
+            cond["node_attr"], edge_attr, pair_mask, basis, deterministic,
+            channel_major=True)
         return out["gradient"].reshape(b * n, 3)
 
     def score_from_cond_fused(

@@ -53,6 +53,38 @@ def _gfp_bwd(res, g):
 gaussian_fourier_projection.defvjp(_gfp_fwd, _gfp_bwd)
 
 
+@jax.custom_vjp
+def gaussian_fourier_projection_cm(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Channel-major GFP: scalar plane ``x`` [B, P] -> [B, 2C, P].
+
+    Same math as :func:`gaussian_fourier_projection` with the Fourier
+    channels on axis 1 instead of the minor axis.  On TPU a [B, P, 2C]
+    pair tensor with 2C=64 is lane-padded 2x (and every downstream H=32
+    tensor 4x); channel-major keeps the large pair axis P = N*N minor, so
+    nothing pads.  Used by the channel-major 2D->3D score path
+    (models/score_2d3d.py::SDEModel2Dto3D.score_from_cond_cm)."""
+    proj = x[:, None, :] * w[None, :, None] * _TWO_PI
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=1)
+
+
+def _gfp_cm_fwd(x, w):
+    proj = x[:, None, :] * w[None, :, None] * _TWO_PI
+    s, c = jnp.sin(proj), jnp.cos(proj)
+    return jnp.concatenate([s, c], axis=1), (s, c, x, w)
+
+
+def _gfp_cm_bwd(res, g):
+    s, c, x, w = res
+    n = s.shape[1]
+    common = (g[:, :n] * c - g[:, n:] * s) * _TWO_PI  # [B, C, P]
+    gx = jnp.einsum("bcp,c->bp", common, w).astype(x.dtype)
+    gw = jnp.einsum("bcp,bp->c", common, x).astype(w.dtype)
+    return gx, gw
+
+
+gaussian_fourier_projection_cm.defvjp(_gfp_cm_fwd, _gfp_cm_bwd)
+
+
 def gaussian_smearing(
     dist: jnp.ndarray, start: float, stop: float, num_gaussians: int
 ) -> jnp.ndarray:

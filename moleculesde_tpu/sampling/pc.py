@@ -66,18 +66,26 @@ def sample_positions_pc(
     denoise: bool = True,
     probability_flow: bool = False,
     fused: Optional[bool] = None,
+    layout: str = "channel",
 ) -> jnp.ndarray:
     """Generate 3D conformers from 2D graphs with PC sampling.
 
     Returns positions ``[N_nodes, 3]`` (the ``x_mean`` of the final predictor
     step when ``denoise``, matching reference l.135-138).
 
+    ``layout`` selects the score pipeline's pair-tensor layout:
+    ``"channel"`` (default) runs every pair tensor as ``[B, C, N*N]`` —
+    lane-padding-free on TPU, where the feature-minor layout wastes 4x
+    bandwidth and computes at 25% VPU utilization at H=32 (the device
+    trace showed two such fusions carrying 58% of the PC chain);
+    ``"feature"`` is the reference-shaped ``[B, N, N, C]`` path.
+
     ``fused`` selects the fully-fused Pallas score kernel
     (ops/score_kernel.py).  Default OFF: at the flagship sizes (H=32,
-    c_head=4) the chain is many tiny ops, and measured on v5e the XLA
-    bf16 path (model.clone(score_dtype="bfloat16")) is the fastest
-    configuration (494 vs 244 PC steps/s); the kernel is kept as a
-    validated building block for larger score networks.
+    c_head=4) its VMEM tiling caps the batch tile at 2 and it loses to the
+    XLA channel-major path; kept as a validated building block for larger
+    score networks.  ``fused`` requires ``layout="feature"`` conditioning
+    and overrides ``layout``.
     """
     sde = model.sde_pos
     diff_steps = n_steps if n_steps is not None else sde.N
@@ -88,18 +96,23 @@ def sample_positions_pc(
     pos = sde.prior_sampling(k_init, batch.positions.shape)
     pos = pos * mask[:, None]
 
+    if fused is None:
+        fused = False
+    if fused:
+        layout = "feature"
+
     # The conditioning (2D pair embedding, node embedding, pair mask) is
     # position-independent: compute it ONCE and close over it, instead of
     # rebuilding it inside every one of the ``2 * corrector_steps * N`` score
     # evaluations of the chain (the reference recomputes it per call,
     # SDE_model_2D_to_3D.py:393-445).
     cond = model.apply(variables, node_2d_repr, batch, True,
+                       layout=("channel" if layout == "channel" else "feature"),
                        method=SDEModel2Dto3D.precompute_conditioning)
 
-    if fused is None:
-        fused = False
     score_method = (SDEModel2Dto3D.score_from_cond_fused if fused
-                    else SDEModel2Dto3D.score_from_cond)
+                    else SDEModel2Dto3D.score_from_cond_cm
+                    if layout == "channel" else SDEModel2Dto3D.score_from_cond)
 
     def get_score(pos, t_nodes):
         raw = model.apply(variables, cond, batch, pos, method=score_method)

@@ -182,3 +182,63 @@ def test_score_dtype_bf16_close_to_f32():
     assert s16.dtype == np.float32
     rel = np.abs(s16 - s32).max() / (np.abs(s32).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("variant", [1, 2, 3, 4])
+def test_2d3d_channel_major_matches_feature_layout(batch, variant):
+    """score_from_cond_cm (pair tensors [B, C, N*N], the TPU
+    lane-padding-free sampling layout) is numerically identical to
+    score_from_cond on the same parameters."""
+    model, variables, node_2d = _init_2d3d(batch, variant)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+    pos = jax.random.normal(jax.random.PRNGKey(7), batch.positions.shape)
+    cond_f = model.apply(variables, node_2d, batch, True,
+                         method=SDEModel2Dto3D.precompute_conditioning)
+    cond_c = model.apply(variables, node_2d, batch, True, layout="channel",
+                         method=SDEModel2Dto3D.precompute_conditioning)
+    s_f = np.asarray(model.apply(variables, cond_f, batch, pos,
+                                 method=SDEModel2Dto3D.score_from_cond))
+    s_c = np.asarray(model.apply(variables, cond_c, batch, pos,
+                                 method=SDEModel2Dto3D.score_from_cond_cm))
+    rel = np.abs(s_f - s_c).max() / (np.abs(s_f).max() + 1e-12)
+    assert rel < 1e-4, rel
+
+
+def test_sampler_layouts_agree(batch):
+    """sample_positions_pc(layout="channel") and layout="feature" walk the
+    same chain (same RNG stream) to numerically close final positions."""
+    from moleculesde_tpu.sampling import sample_positions_pc
+
+    model, variables, node_2d = _init_2d3d(batch, 2)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+    key = jax.random.PRNGKey(11)
+    p_c = np.asarray(sample_positions_pc(
+        model, variables, node_2d, batch, key, n_steps=5, layout="channel"))
+    p_f = np.asarray(sample_positions_pc(
+        model, variables, node_2d, batch, key, n_steps=5, layout="feature"))
+    assert np.all(np.isfinite(p_c))
+    rel = np.abs(p_c - p_f).max() / (np.abs(p_f).max() + 1e-12)
+    assert rel < 1e-3, rel
+
+
+def test_coff_pair_swap_symmetry():
+    """The s<->d transpose identity both score paths exploit to halve the
+    GFP transcendentals: coff_d = pair-transpose(coff_s) with component 0
+    negated (diff and cross flip sign under the swap, vert is even), and
+    the pseudo angle is pair-symmetric.  Pins the identity directly against
+    dense_frames so a symmetric sign error cannot cancel between the
+    feature and channel-major implementations."""
+    from moleculesde_tpu.models.score_2d3d import dense_frames
+
+    pos = jax.random.normal(jax.random.PRNGKey(3), (2, 7, 3))
+    _, coff_s, coff_d, (psin, pcos) = dense_frames(pos)
+    T = lambda a: np.swapaxes(np.asarray(a), 1, 2)  # noqa: E731
+    np.testing.assert_allclose(np.asarray(coff_d[0]), -T(coff_s[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(coff_d[1]), T(coff_s[1]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(coff_d[2]), T(coff_s[2]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pcos), T(pcos), rtol=1e-5, atol=1e-6)
