@@ -404,6 +404,13 @@ class SDEModel2Dto3D(nn.Module):
     # stay f32.  Same params either way — sampler CLIs opt in via
     # model.clone(score_dtype="bfloat16") without touching checkpoints.
     score_dtype: str = "float32"
+    # pair-tensor layout of the training-loss / get_score pipeline:
+    # "channel" runs the score eval with every pair tensor as [B, C, N*N]
+    # (pair axis minor — lane-padding-free on TPU, fewer layout copies; see
+    # score_from_cond_cm), "feature" is the reference-shaped [B, N, N, C]
+    # path.  Identical parameters and math either way (equivalence tested
+    # per variant in tests/test_score_models.py).
+    loss_layout: str = "channel"
 
     @property
     def sde_pos(self) -> SDE:
@@ -684,8 +691,12 @@ class SDEModel2Dto3D(nn.Module):
         use_running_average: bool,
     ) -> jnp.ndarray:
         """Shared feature pipeline + score network -> raw gradient [N_nodes, 3]."""
+        cm = self.loss_layout == "channel"
         cond = self.precompute_conditioning(
-            node_2d_repr, batch, use_running_average)
+            node_2d_repr, batch, use_running_average,
+            layout="channel" if cm else "feature")
+        if cm:
+            return self.score_from_cond_cm(cond, batch, pos, deterministic)
         return self.score_from_cond(cond, batch, pos, deterministic)
 
     def __call__(self, node_2d_repr, batch, key, anneal_power=0.0,

@@ -114,46 +114,73 @@ def sample_positions_pc(
                     else SDEModel2Dto3D.score_from_cond_cm
                     if layout == "channel" else SDEModel2Dto3D.score_from_cond)
 
-    def get_score(pos, t_nodes):
-        raw = model.apply(variables, cond, batch, pos, method=score_method)
-        _, std = sde.marginal_prob(pos, t_nodes)
-        return -raw / std[:, None]
+    # Hoisted per-chain randomness + schedule scalars.  Every node shares a
+    # step's scalar t, so the marginal std and corrector alpha are [n_steps]
+    # lookups computed once; ALL chain noise comes from one batched threefry
+    # instead of 2*(corrector_steps)+3 small RNG programs per scan step —
+    # the chain is op-count-bound (~190 device ops/step at ~2-4us each), so
+    # in-scan threefry/splits were a measurable slice of the step.  The
+    # corrector slab is hoisted only while it stays under 128 MB
+    # (steps_pos=100-style inner loops fall back to in-scan draws).
+    stds = sde.marginal_prob(jnp.zeros_like(timesteps), timesteps)[1]
+    alphas = sde.corrector_alpha(timesteps)
+    k_pred, k_corr = jax.random.split(k_scan)
+    noise_p = (jax.random.normal(k_pred, (diff_steps,) + pos.shape)
+               * mask[:, None])
+    hoist_corr = (diff_steps * corrector_steps * pos.size * 4
+                  <= 128 * 1024 * 1024)
+    noise_c = (jax.random.normal(
+        k_corr, (diff_steps, corrector_steps) + pos.shape) * mask[:, None]
+        if hoist_corr else None)
 
-    def corrector(pos, t_nodes, key):
-        alpha = sde.corrector_alpha(t_nodes)  # [N]
+    def get_score(pos, std):
+        raw = model.apply(variables, cond, batch, pos, method=score_method)
+        return -raw / std
+
+    def corrector(pos, std, alpha, noises, key):
         x = pos
         x_mean = pos
-        for _ in range(corrector_steps):
-            grad = get_score(x, t_nodes)
-            key, sub = jax.random.split(key)
-            noise = jax.random.normal(sub, x.shape) * mask[:, None]
+        for i in range(corrector_steps):
+            grad = get_score(x, std)
+            if hoist_corr:
+                noise = noises[i]
+            else:
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, x.shape) * mask[:, None]
             grad_norm = _masked_mean_rownorm(grad, mask)
             noise_norm = _masked_mean_rownorm(noise, mask)
             step_size = (snr * noise_norm / jnp.maximum(grad_norm, 1e-12)) ** 2 * 2 * alpha
-            x_mean = x + step_size[:, None] * grad
-            x = x_mean + jnp.sqrt(step_size * 2)[:, None] * noise * scale_eps
+            x_mean = x + step_size * grad
+            x = x_mean + jnp.sqrt(step_size * 2) * noise * scale_eps
         return x, x_mean
 
-    def predictor(pos, t_nodes, key):
-        score = get_score(pos, t_nodes)
+    def predictor(pos, t_nodes, std, noise):
+        score = get_score(pos, std)
         f, G = sde.reverse_discretize(pos, t_nodes, score, probability_flow)
-        noise = jax.random.normal(key, pos.shape) * mask[:, None]
         x_mean = pos - f
         x = x_mean + G[:, None] * noise
         return x, x_mean
 
-    def scan_step(carry, t):
+    def scan_step(carry, xs):
         pos, _, key = carry
-        key, kc, kp = jax.random.split(key, 3)
+        if hoist_corr:
+            t, std, alpha, np_, nc = xs
+            kc = key
+        else:
+            t, std, alpha, np_ = xs
+            nc = None
+            key, kc = jax.random.split(key)
         t_nodes = jnp.full((batch.num_nodes,), t)
-        pos, _ = corrector(pos, t_nodes, kc)
-        pos, pos_mean = predictor(pos, t_nodes, kp)
+        pos, _ = corrector(pos, std, alpha, nc, kc)
+        pos, pos_mean = predictor(pos, t_nodes, std, np_)
         pos = pos * mask[:, None]
         pos_mean = pos_mean * mask[:, None]
         return (pos, pos_mean, key), None
 
+    xs = (timesteps, stds, alphas, noise_p) + (
+        (noise_c,) if hoist_corr else ())
     (pos, pos_mean, _), _ = jax.lax.scan(
-        scan_step, (pos, pos, k_scan), timesteps)
+        scan_step, (pos, pos, k_scan), xs)
     return pos_mean if denoise else pos
 
 

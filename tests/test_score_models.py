@@ -242,3 +242,25 @@ def test_coff_pair_swap_symmetry():
     np.testing.assert_allclose(np.asarray(coff_d[2]), T(coff_s[2]),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(pcos), T(pcos), rtol=1e-5, atol=1e-6)
+
+
+def test_2d3d_loss_layout_agrees(batch):
+    """The training loss through the channel-major pipeline
+    (loss_layout="channel", the default) matches the feature-layout loss on
+    identical params and RNG."""
+    model, variables, node_2d = _init_2d3d(batch, 2)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+    key = jax.random.PRNGKey(5)
+
+    def run(layout):
+        m = model.clone(loss_layout=layout)
+        (out, _) = m.apply(variables, node_2d, batch, key,
+                           deterministic=True, mutable=["batch_stats"],
+                           rngs={"dropout": key}, method=SDEModel2Dto3D.loss)
+        return float(out["position"])
+
+    l_c = run("channel")
+    l_f = run("feature")
+    assert np.isfinite(l_c)
+    assert abs(l_c - l_f) / (abs(l_f) + 1e-12) < 1e-4, (l_c, l_f)
