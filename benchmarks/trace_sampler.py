@@ -77,6 +77,22 @@ def main():
     for name, dur in top:
         print(f"{dur / 1e3:9.2f} ms x{counts[name]:5d}  {name[:100]}")
 
+    # device-op category rollup (host python frames excluded): the chain is
+    # op-count-bound, so per-category totals localize the next target better
+    # than the top-k list
+    import re
+    cats = defaultdict(float)
+    cat_counts = defaultdict(int)
+    for name, dur in durations.items():
+        if name.startswith("$") or " " in name or "(" in name:
+            continue  # host frames / jit wrappers
+        base = re.sub(r"[.\d]+$", "", name)
+        cats[base] += dur
+        cat_counts[base] += counts[name]
+    print("\n-- device op categories (total across trace) --")
+    for base, dur in sorted(cats.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{dur / 1e3:9.2f} ms x{cat_counts[base]:6d}  {base}")
+
 
 if __name__ == "__main__":
     main()

@@ -333,20 +333,26 @@ class EquivariantScoreNetwork(nn.Module):
                 ]
 
             def coff_mix_cm(node_f, edge_cm, basis, maskf, wh, we, be, wo, bo):
-                # channel-major form of coff_mix: the [B, coff_dim, N*N]
-                # slab keeps the pair axis minor (the feature-minor slab is
-                # 128-wide so unpadded, but every other tensor here is)
+                # coff-mix for the channel-major pipeline.  The basis-MLP
+                # block itself runs FEATURE-minor: at coff_dim=128 the
+                # [B, N, N, 128] slab is exactly lane-width (no padding),
+                # the silu consumes the dot outputs in their natural layout,
+                # and the closing einsum contracts the minor dim — whereas a
+                # channel-major [B, 128, N*N] slab forced XLA to relayout
+                # e_part AND the silu result around every dot (HLO copy
+                # inventory: 4x 16 MB copies/eval, ~130 us/step).  The cm
+                # edge enters through the dot's dimension numbers (einsum on
+                # the [B, C, N*N] operand directly), so no transpose
+                # materializes.
                 dt = self.dtype or node_f.dtype
                 cd = wh.shape[1]
-                # [B, coff_dim, N] straight from the dot (no transpose copy)
-                hT = jnp.einsum("bnf,fc->bcn", node_f.astype(dt),
-                                wh.astype(dt))
-                e_part = (jnp.einsum("bcp,co->bop", edge_cm.astype(dt),
+                h_part = node_f.astype(dt) @ wh.astype(dt)        # [B, N, cd]
+                e_part = (jnp.einsum("bcp,co->bpo", edge_cm.astype(dt),
                                      we.astype(dt))
-                          + be.astype(dt)[None, :, None]).reshape(b, cd, n, n)
+                          + be.astype(dt)).reshape(b, n, n, cd)
                 coff = jax.nn.silu(
-                    hT[:, :, :, None] + hT[:, :, None, :] + e_part)
-                c = jnp.einsum("bfsd,fc->cbsd", coff, wo.astype(dt)
+                    h_part[:, :, None, :] + h_part[:, None, :, :] + e_part)
+                c = jnp.einsum("bsdf,fc->cbsd", coff, wo.astype(dt)
                                ).astype(jnp.float32) \
                     + bo[:, None, None, None]
                 return [
