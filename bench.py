@@ -65,7 +65,8 @@ def measure_jax() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from moleculesde_tpu.data.synthetic import synthetic_batch
+    from moleculesde_tpu.data.synthetic import (
+        synthetic_batch, synthetic_compact_batch)
     from moleculesde_tpu.pretrain import (
         PretrainConfig, create_pretrain_state, make_pretrain_step)
 
@@ -73,7 +74,11 @@ def measure_jax() -> dict:
     cfg = PretrainConfig(
         emb_dim=EMB, dropout_ratio=0.0,
         cl_similarity_metric="EBM_node_dot_prod")
-    batch = synthetic_batch(num_graphs=BATCH, n_max=N_MAX, seed=0)
+    # the production ingest form (examples/pretrain.py): minimal compact host
+    # arrays, featurization + 4-hop extension on device inside the step — the
+    # host-extended GraphBatch form pays a serialized [B, N, N] scatter
+    # (1.4 ms/step at batch 256 in the device trace) that production never runs
+    batch = synthetic_compact_batch(num_graphs=BATCH, n_max=N_MAX, seed=0)
     batch = jax.device_put(batch)
     key = jax.random.PRNGKey(0)
 
@@ -145,7 +150,7 @@ def measure_jax() -> dict:
     big_tflops = 0.0
     if big and big != BATCH:
         batch_big = jax.device_put(
-            synthetic_batch(num_graphs=big, n_max=N_MAX, seed=2))
+            synthetic_compact_batch(num_graphs=big, n_max=N_MAX, seed=2))
         models_b, state_b = create_pretrain_state(cfg, batch_big, key)
         step_b = make_pretrain_step(models_b, cfg)
         # cost_analysis at batch 1024 reports ~2x the FLOPs that would fit in

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import jax
 import jax.numpy as jnp
 
-from moleculesde_tpu.data.synthetic import synthetic_batch
+from moleculesde_tpu.data.synthetic import synthetic_batch, synthetic_compact_batch
 from moleculesde_tpu.pretrain import PretrainConfig, create_pretrain_state, make_pretrain_step
 
 TRACE_DIR = os.environ.get("TRACE_DIR", "/tmp/molsde_trace")
@@ -26,7 +26,13 @@ def main():
     b = int(os.environ.get("TRACE_BATCH", 256))
     cfg = PretrainConfig(emb_dim=300, dropout_ratio=0.0,
                          cl_similarity_metric="EBM_node_dot_prod")
-    batch = jax.device_put(synthetic_batch(num_graphs=b, n_max=32, seed=0))
+    # production compact-ingest path (same as bench.py headline);
+    # TRACE_INGEST=graph traces the host-extended GraphBatch form instead
+    if os.environ.get("TRACE_INGEST", "compact") == "compact":
+        batch = jax.device_put(
+            synthetic_compact_batch(num_graphs=b, n_max=32, seed=0))
+    else:
+        batch = jax.device_put(synthetic_batch(num_graphs=b, n_max=32, seed=0))
     key = jax.random.PRNGKey(0)
     models, state = create_pretrain_state(cfg, batch, key)
     step = make_pretrain_step(models, cfg)

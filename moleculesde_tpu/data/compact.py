@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -128,12 +129,21 @@ def expand_on_device(cb: CompactBatch) -> GraphBatch:
                            0).reshape(b * e, NUM_BOND_FEATURES)
     edge_mask = valid.reshape(b * e)
 
-    # dense bond adjacency + bond-type labels (invalid edges routed OOB)
-    bidx = jnp.where(valid, jnp.arange(b, dtype=jnp.int32)[:, None], b)
-    adj = jnp.zeros((b, n, n), dtype=bool).at[bidx, s_l, d_l].set(
-        True, mode="drop")
-    btype = jnp.zeros((b, n, n), dtype=jnp.int32).at[bidx, s_l, d_l].set(
-        cb.edge_feats[..., 0].astype(jnp.int32) + 1, mode="drop")
+    # dense bond adjacency + bond-type labels, scatter-free: TPU scatters
+    # serialize (the [B, N, N] pred scatter of the host-extended path costs
+    # 1.4 ms/step at batch 256 in the device trace), while the same gather
+    # expressed as one-hot MXU matmuls over the per-graph padded bond lists
+    # is microseconds.  Duplicate bonds would sum their one-hots, so divide
+    # the value plane by the pair multiplicity (scatter-set semantics).
+    vf = valid.astype(jnp.float32)
+    s_oh = jax.nn.one_hot(s_l, n, dtype=jnp.float32) * vf[..., None]  # [B,e,n]
+    d_oh = jax.nn.one_hot(d_l, n, dtype=jnp.float32)
+    count = jnp.einsum("bes,bed->bsd", s_oh, d_oh)
+    adj = count > 0
+    val = (cb.edge_feats[..., 0].astype(jnp.float32) + 1.0)
+    vsum = jnp.einsum("bes,bed->bsd", s_oh * val[..., None], d_oh)
+    btype = jnp.where(
+        adj, (vsum / jnp.maximum(count, 1.0) + 0.5), 0.0).astype(jnp.int32)
 
     if cb.use_extend:
         ext_mask_d, ext_attr_d = dense_extend(adj, btype)

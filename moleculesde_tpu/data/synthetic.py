@@ -72,6 +72,37 @@ def random_molecule(
     return g
 
 
+def synthetic_compact_batch(
+    num_graphs: int = 8,
+    n_max: int = 16,
+    e_max: Optional[int] = None,
+    min_atoms: int = 4,
+    seed: int = 0,
+    num_tasks: Optional[int] = None,
+    with_forces: bool = False,
+):
+    """Same random molecules as :func:`synthetic_batch`, collated into the
+    production ingest form (:class:`~moleculesde_tpu.data.compact.CompactBatch`
+    — minimal host arrays, featurization/extension on device inside the train
+    step).  This is what ``examples/pretrain.py`` feeds the step, so benches
+    and traces use it for the headline path."""
+    from moleculesde_tpu.data.compact import collate_compact
+
+    rng = np.random.default_rng(seed)
+    graphs: List[dict] = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(min_atoms, n_max + 1))
+        g = random_molecule(rng, n, extend=False)
+        if num_tasks is not None:
+            g["y"] = rng.normal(size=(num_tasks,)).astype(np.float32)
+        if with_forces:
+            g["forces"] = rng.normal(size=(n, 3)).astype(np.float32)
+        graphs.append(g)
+    return collate_compact(
+        graphs, n_max=n_max, e_max=e_max if e_max is not None else 4 * n_max,
+        num_tasks=num_tasks, with_forces=with_forces)
+
+
 def synthetic_batch(
     num_graphs: int = 8,
     n_max: int = 16,

@@ -504,7 +504,7 @@ class SDEModel2Dto3D(nn.Module):
                                        use_running_average)
             w1, b1 = self.edge_2D_emb_1()
             edge_attr_2d = pair_relu_project(
-                a, c, w1, bf16=self.bf16_pairs, impl=self.pair_impl) + b1
+                a, c, w1, b1, bf16=self.bf16_pairs, impl=self.pair_impl)
         else:
             if self.variant == 3:
                 src_p, dst_p = self.edge_2D_emb(h2d)

@@ -38,25 +38,32 @@ def test_pair_mean_var_matches_materialized(data):
 
 def test_pair_relu_project_pallas_matches_xla(data):
     src, dst, mask, w = data
-    out_xla = pair_relu_project(src, dst, w, impl="xla")
-    out_pls = pair_relu_project(src, dst, w, impl="pallas_interpret")
+    bias = jnp.linspace(-1.0, 1.0, w.shape[-1])
+    out_xla = pair_relu_project(src, dst, w, bias, impl="xla")
+    out_pls = pair_relu_project(src, dst, w, bias, impl="pallas_interpret")
     assert out_xla.shape == (4, 8, 8, 6)
     np.testing.assert_allclose(
         np.asarray(out_pls), np.asarray(out_xla), atol=1e-5)
+    # fused bias is a plain output offset
+    out_nob = pair_relu_project(src, dst, w, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out_pls - bias), np.asarray(out_nob),
+                               atol=1e-5)
 
 
 def test_pair_relu_project_pallas_grads_match_xla(data):
     src, dst, mask, w = data
+    bias = jnp.linspace(-0.5, 0.5, w.shape[-1])
 
     def scalar(impl):
-        def f(a, c, ww):
-            out = pair_relu_project(a, c, ww, impl=impl)
+        def f(a, c, ww, bb):
+            out = pair_relu_project(a, c, ww, bb, impl=impl)
             return jnp.sum(out * jnp.arange(out.shape[-1]))
-        return jax.grad(f, argnums=(0, 1, 2))(src, dst, w)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(src, dst, w, bias)
 
     for g_ref, g_k in zip(scalar("xla"), scalar("pallas_interpret")):
         np.testing.assert_allclose(
-            np.asarray(g_k), np.asarray(g_ref), atol=1e-4, rtol=1e-4)
+            np.asarray(g_k).reshape(-1), np.asarray(g_ref).reshape(-1),
+            atol=1e-4, rtol=1e-4)
 
 
 def test_pair_relu_project_uneven_batch_tile(data):
