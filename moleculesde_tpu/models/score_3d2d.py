@@ -22,7 +22,6 @@ tight, otherwise a constant factor.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -32,6 +31,7 @@ from flax import linen as nn
 from moleculesde_tpu.core.batch import GraphBatch, NUM_ATOM_CLASSES
 from moleculesde_tpu.core.masks import mask_adjs, mask_x, node_flags
 from moleculesde_tpu.models.layers import MLP, xavier_uniform, zeros_init
+from moleculesde_tpu.ops.attn_bank import attn_map_bank
 from moleculesde_tpu.ops.frames import EPSILON
 from moleculesde_tpu.sde import SDE, make_sde
 
@@ -89,6 +89,10 @@ class StackedEdgeLayers(nn.Module):
     # the bank's dominant HBM traffic (r3 honest trace: ~2 ms per layer in
     # f32 at B=256).  Params and the returned maps stay f32.
     dtype: Optional[jnp.dtype] = None
+    # attention-map implementation (ops/attn_bank.py): "auto" = the XLA
+    # einsum bank ("pallas" opt-in loses 3.6 ms/step end-to-end to boundary
+    # relayout despite a 1.3x in-kernel win — see attn_bank.py docstring)
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, adjc, node_3d_repr=None):
@@ -131,16 +135,12 @@ class StackedEdgeLayers(nn.Module):
         # chunked heads exactly as the reference's split/cat
         # (edge_network_dense.py:66-79): chunk width attn_dim // num_heads.
         ds = self.attn_dim // self.num_heads
-        b, _, n, qdim = q.shape
-        h = qdim // ds
-        qh = q.reshape(b, c_dim, n, h, ds)
-        kh = k.reshape(b, c_dim, n, h, ds)
-        a = jnp.tanh(jnp.einsum("bcnhd,bcmhd->bchnm", qh, kh)
-                     / jnp.asarray(math.sqrt(ds), dt))
-        a = a.astype(jnp.float32).mean(axis=2)
+        a = attn_map_bank(q, k, ds, bf16=(dt == jnp.bfloat16),
+                          impl=self.attn_impl)
         a = (a + jnp.swapaxes(a, -1, -2)) / 2.0
 
         # dense-GCN V per channel: D^-1/2 (A_c + I) D^-1/2 X W_c + b_c
+        n = adjc.shape[-1]
         v_in = qk_in if self.node_3d_dim else x
         wv = stacked("v_kernel", (c_dim, v_in.shape[-1], self.out_dim))
         bv = self.param("v_bias", zeros_init, (c_dim, self.out_dim))
@@ -165,12 +165,14 @@ class EdgeNetworkDense(nn.Module):
     num_heads: int = 4
     node_3d_dim: int = 0
     dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, adjc, flags, node_3d_repr=None):
         v, attn_maps = StackedEdgeLayers(
             self.input_dim, self.attn_dim, self.conv_output_dim,
-            self.num_heads, self.node_3d_dim, dtype=self.dtype, name="attn",
+            self.num_heads, self.node_3d_dim, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn",
         )(x, adjc, node_3d_repr)
         b, c, n, out = v.shape
         x_cat = jnp.transpose(v, (0, 2, 1, 3)).reshape(b, n, c * out)
@@ -208,6 +210,7 @@ class EdgeScoreNetworkDense(nn.Module):
     num_heads: int = 4
     node_3d_dim: int = 0
     dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, adj, flags, node_3d_repr=None):
@@ -220,7 +223,7 @@ class EdgeScoreNetworkDense(nn.Module):
             x, adjc = EdgeNetworkDense(
                 self.num_linears, attn_dim, self.nhid, c_in, c_out,
                 self.num_heads, self.node_3d_dim, dtype=self.dtype,
-                name=f"layer_{i}",
+                attn_impl=self.attn_impl, name=f"layer_{i}",
             )(x, adjc, flags, node_3d_repr)
             adj_list.append(adjc)
 
@@ -283,6 +286,8 @@ class SDEModel3Dto2D(nn.Module):
     noise_mode: str = "discrete"
     # bf16 attention bank (params/losses f32); see StackedEdgeLayers.dtype
     bf16_attn: bool = True
+    # attention-map implementation (ops/attn_bank.py); see StackedEdgeLayers
+    attn_impl: str = "auto"
     sde_type: str = "VE"
     beta_min: float = 0.1
     beta_max: float = 1.0
@@ -324,6 +329,7 @@ class SDEModel3Dto2D(nn.Module):
             c_init=self.c_init, c_hid=self.c_hid, c_final=self.c_final,
             adim=self.adim, num_heads=self.num_heads, node_3d_dim=inject,
             dtype=jnp.bfloat16 if self.bf16_attn else None,
+            attn_impl=self.attn_impl,
             name="edge_score_network",
         )(cond, adj, flags, node_3d)
         net_x = NodeScoreNetworkDense(

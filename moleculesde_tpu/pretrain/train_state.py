@@ -81,6 +81,9 @@ class PretrainConfig:
     # bf16 halves that traffic).  Params/optimizer/losses stay f32.
     score_dtype_2dto3d: str = "bfloat16"
     schnet_bf16: bool = True
+    # 3D->2D attention-map implementation (ops/attn_bank.py):
+    # "auto" = fused Pallas bank on TPU, XLA einsums elsewhere
+    attn_impl_3dto2d: str = "auto"
     # contrastive (config.py:98-103)
     cl_similarity_metric: str = "EBM_node_dot_prod"
     T: float = 0.1
@@ -138,7 +141,8 @@ def build_models(cfg: PretrainConfig) -> Dict[str, Any]:
         nhid=16, num_layers=4, num_linears=3,
         variant=cfg.sde_3dto2d_variant, sde_type=t32,
         beta_min=bmin32, beta_max=bmax32, num_diffusion_timesteps=n32,
-        noise_on_one_hot=cfg.noise_on_one_hot)
+        noise_on_one_hot=cfg.noise_on_one_hot,
+        attn_impl=cfg.attn_impl_3dto2d)
 
     return {
         "model_2D": model_2d,
