@@ -89,25 +89,34 @@ class GINConv(nn.Module):
     """GIN convolution with bond features (ref molecule_gnn_model.py:13-32).
 
     Edge->node aggregation runs as the per-graph one-hot matmul
-    (core.segment.edge_aggregate) — scatter-free on TPU."""
+    (core.segment.edge_aggregate) — scatter-free on TPU.
+
+    ``dtype=bfloat16`` runs the message einsums and the MLP dots in bf16
+    (params, the embedding tables, residual ``(1+eps)x`` and BatchNorm
+    statistics stay f32 — MaskedBatchNorm casts internally)."""
 
     emb_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_feats, node_mask, edge_mask,
                  num_graphs: int, n_max: int,
                  use_running_average: bool = False):
+        dt = self.dtype or x.dtype
         edge_emb = BondEncoder(self.emb_dim)(edge_feats)
-        x_src = edge_gather(x, edge_src, num_graphs, n_max, edge_mask)
-        msg = nn.relu(x_src + edge_emb)
+        x_src = edge_gather(x.astype(dt), edge_src, num_graphs, n_max,
+                            edge_mask)
+        msg = nn.relu(x_src + edge_emb.astype(dt))
         agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask)
         eps = self.param("eps", zeros_init, (1,))
-        h = (1.0 + eps) * x + agg
-        h = nn.Dense(2 * self.emb_dim, kernel_init=xavier_uniform)(h)
+        h = (1.0 + eps) * x + agg.astype(x.dtype)
+        h = nn.Dense(2 * self.emb_dim, kernel_init=xavier_uniform,
+                     dtype=self.dtype)(h)
         h = MaskedBatchNorm()(h, node_mask, use_running_average)
         h = nn.relu(h)
-        h = nn.Dense(self.emb_dim, kernel_init=xavier_uniform)(h)
-        return h
+        h = nn.Dense(self.emb_dim, kernel_init=xavier_uniform,
+                     dtype=self.dtype)(h)
+        return h.astype(jnp.float32)
 
 
 class GCNConv(nn.Module):
@@ -196,6 +205,8 @@ class GNN2D(nn.Module):
     jk: str = "last"
     drop_ratio: float = 0.0
     gnn_type: str = "GIN"
+    # "bfloat16" = bf16 conv compute (GIN only; params/BN stats stay f32)
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -207,10 +218,13 @@ class GNN2D(nn.Module):
         if self.num_layers < 2:
             raise ValueError("Number of GNN layers must be greater than 1.")
         conv_cls = _CONVS[self.gnn_type]
+        conv_kw = {}
+        if self.gnn_type == "GIN" and self.compute_dtype == "bfloat16":
+            conv_kw["dtype"] = jnp.bfloat16
         x = AtomEncoder(self.emb_dim)(batch.atom_feats)
         h_list = [x]
         for layer in range(self.num_layers):
-            h = conv_cls(self.emb_dim)(
+            h = conv_cls(self.emb_dim, **conv_kw)(
                 h_list[layer], batch.edge_src, batch.edge_dst, batch.edge_feats,
                 batch.node_mask, batch.edge_mask, batch.num_graphs,
                 batch.n_max, use_running_average)

@@ -179,7 +179,7 @@ class EdgeNetworkDense(nn.Module):
 
         hidden_dim = 2 * max(self.input_dim, self.output_dim)
         x_out = MLP([hidden_dim, self.conv_output_dim], activation="elu",
-                    name="multi_channel")(x_cat)
+                    dtype=self.dtype, name="multi_channel")(x_cat)
         x_out = jnp.tanh(mask_x(x_out, flags))
 
         # channel-major pair MLP: [B, 2C, N*N] keeps the big axis minor
@@ -188,9 +188,10 @@ class EdgeNetworkDense(nn.Module):
         mlp_in = jnp.concatenate([attn_maps, adjc], axis=1
                                  ).reshape(b_, 2 * c_in, n_ * n_)
         dims = [hidden_dim] * (self.num_linears - 1) + [self.output_dim]
-        adj_out = MLP(dims, activation="elu", name="mlp",
+        adj_out = MLP(dims, activation="elu", dtype=self.dtype, name="mlp",
                       channel_major=True)(mlp_in)
-        adj_out = adj_out.reshape(b_, self.output_dim, n_, n_)
+        adj_out = adj_out.astype(jnp.float32).reshape(
+            b_, self.output_dim, n_, n_)
         adj_out = adj_out + jnp.swapaxes(adj_out, -1, -2)
         adj_out = mask_adjs(adj_out, flags)
         return x_out, adj_out
@@ -230,9 +231,10 @@ class EdgeScoreNetworkDense(nn.Module):
         adjs = jnp.concatenate(adj_list, axis=1)          # [B, fdim, N, N]
         fdim = self.c_hid * (self.num_layers - 1) + self.c_final + self.c_init
         b_, _, n, _ = adjs.shape
-        score = MLP([2 * fdim, 2 * fdim, 1], activation="silu", name="final",
+        score = MLP([2 * fdim, 2 * fdim, 1], activation="silu",
+                    dtype=self.dtype, name="final",
                     channel_major=True)(adjs.reshape(b_, -1, n * n))
-        score = score.reshape(b_, n, n)
+        score = score.astype(jnp.float32).reshape(b_, n, n)
         score = score * (1.0 - jnp.eye(n)[None])          # zero the diagonal
         return mask_adjs(score, flags)
 

@@ -198,15 +198,23 @@ _attn_map_bank_pallas.defvjp(_rule_fwd, _rule_bwd)
 
 
 def _attn_map_bank_xla(q, k, ds: int):
-    """Reference XLA formulation (also the CPU path): materialized per-head
-    logits, tanh, mean over heads."""
+    """XLA formulation (also the CPU path): materialized per-head logits,
+    tanh in the operand dtype, head mean accumulated in f32.
+
+    Two formulations measured WORSE in the full step (r3 device traces,
+    batch 256): (a) tanh(u).astype(f32).mean(...) writes and re-reads the
+    [B, C, H, N, N] logits (4x lane-padded at N=32) in f32 — mean(...,
+    dtype=f32) reads them at half the width; (b) a per-head loop over
+    minor-dim operand slices avoids the logits tensor entirely but re-reads
+    the full padded q/k per head and quadruples the cluster's op count
+    (26.35 vs 25.82 ms/step end-to-end)."""
     b, c, n, a = q.shape
     h = a // ds
     qh = q.reshape(b, c, n, h, ds)
     kh = k.reshape(b, c, n, h, ds)
     u = jnp.einsum("bcnhd,bcmhd->bchnm", qh, kh) / jnp.asarray(
         math.sqrt(ds), q.dtype)
-    return jnp.tanh(u).astype(jnp.float32).mean(axis=2)
+    return jnp.mean(jnp.tanh(u), axis=2, dtype=jnp.float32)
 
 
 def attn_map_bank(

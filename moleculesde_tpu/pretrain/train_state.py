@@ -81,6 +81,10 @@ class PretrainConfig:
     # bf16 halves that traffic).  Params/optimizer/losses stay f32.
     score_dtype_2dto3d: str = "bfloat16"
     schnet_bf16: bool = True
+    gnn2d_bf16: bool = True
+    # CFConv aggregation: "reduce" wins inside the full pretrain step
+    # (layout interplay; see models/schnet.py::SchNetInteraction.agg)
+    schnet_agg: str = "reduce"
     # 3D->2D attention-map implementation (ops/attn_bank.py):
     # "auto" = fused Pallas bank on TPU, XLA einsums elsewhere
     attn_impl_3dto2d: str = "auto"
@@ -105,7 +109,8 @@ def build_models(cfg: PretrainConfig) -> Dict[str, Any]:
     """Instantiate the four components of the joint pretraining objective."""
     model_2d = GNN2D(
         num_layers=cfg.num_layer, emb_dim=cfg.emb_dim, jk=cfg.jk,
-        drop_ratio=cfg.dropout_ratio, gnn_type=cfg.gnn_type)
+        drop_ratio=cfg.dropout_ratio, gnn_type=cfg.gnn_type,
+        compute_dtype="bfloat16" if cfg.gnn2d_bf16 else None)
     if cfg.model_3d == "SchNet":
         model_3d = SchNet(
             hidden_channels=cfg.emb_dim,
@@ -114,7 +119,8 @@ def build_models(cfg: PretrainConfig) -> Dict[str, Any]:
             num_gaussians=cfg.schnet_num_gaussians,
             cutoff=cfg.schnet_cutoff,
             readout=cfg.schnet_readout,
-            compute_dtype="bfloat16" if cfg.schnet_bf16 else None)
+            compute_dtype="bfloat16" if cfg.schnet_bf16 else None,
+            agg=cfg.schnet_agg)
     elif cfg.model_3d == "PaiNN":
         model_3d = PaiNN(
             n_atom_basis=cfg.emb_dim,
