@@ -66,40 +66,60 @@ class SchNetInteraction(nn.Module):
     num_gaussians: int
     cutoff: float
     dtype: Optional[jnp.dtype] = None
-    # CFConv aggregation form.  "einsum" lowers to a dot_general with
-    # (batch, feature) batch dims; "reduce" is a broadcast-multiply + sum
-    # over the neighbor axis that fuses into the filter dense's output.
-    # Measured (r3, v5e, B=256): einsum wins when SchNet runs ALONE
-    # (3.39 vs 4.05 ms fwd — XLA picks the dot's preferred layouts freely),
-    # reduce wins inside the full pretrain step (25.82 vs 26.10 ms/step —
-    # the dot's [B, F, N{,N}] operand layouts collide with the surrounding
-    # models' and force relayout copies).  Default einsum (standalone
-    # finetune/sampling use); pretraining opts into reduce via the config.
+    # CFConv aggregation form (XLA path only).  "einsum" lowers to a
+    # dot_general with (batch, feature) batch dims; "reduce" is a
+    # broadcast-multiply + sum over the neighbor axis that fuses into the
+    # filter dense's output.  Measured (r3, v5e, B=256): einsum wins when
+    # SchNet runs ALONE (3.39 vs 4.05 ms fwd — XLA picks the dot's preferred
+    # layouts freely), reduce wins inside the full pretrain step (25.82 vs
+    # 26.10 ms/step — the dot's [B, F, N{,N}] operand layouts collide with
+    # the surrounding models' and force relayout copies).  Default einsum
+    # (standalone finetune/sampling use); pretraining opts in via the config.
     agg: str = "einsum"
+    # CFConv implementation: "xla", or the fused Pallas kernel
+    # (ops/cfconv.py) which keeps the [B, N, N, F] filter tensors
+    # VMEM-resident.  The kernel does NOT propagate gradients to positions
+    # (ea/env cotangents are zero) — never enable it on the MD17 force path.
+    cfconv: str = "xla"
 
     @nn.compact
     def __call__(self, h, edge_attr, cos_env, pair_mask):
-        def dense(feat, use_bias=True):
+        from moleculesde_tpu.models.layers import DenseParams
+        from moleculesde_tpu.ops.cfconv import fused_cfconv
+
+        def dense(feat, name, use_bias=True):
             return nn.Dense(feat, kernel_init=xavier_uniform,
                             bias_init=zeros_init, use_bias=use_bias,
-                            dtype=self.dtype)
+                            dtype=self.dtype, name=name)
 
-        # filter net over the gaussian-expanded distances [B,N,N,G] -> [B,N,N,Fil]
-        w = dense(self.num_filters)(edge_attr)
-        w = shifted_softplus(w.astype(jnp.float32))
-        w = dense(self.num_filters)(w)
-        env = (cos_env[..., None] * pair_mask[..., None]).astype(w.dtype)
-        w = w * env
+        # filter-net params declared raw so both impls share one tree
+        # (names/shapes identical to the former auto-named nn.Dense stack)
+        w1, b1 = DenseParams(self.num_filters, edge_attr.shape[-1],
+                             name="Dense_0")()
+        w2, b2 = DenseParams(self.num_filters, self.num_filters,
+                             name="Dense_1")()
+        x = dense(self.num_filters, "Dense_2", use_bias=False)(h)
+        envm = cos_env * pair_mask.astype(cos_env.dtype)
 
-        x = dense(self.num_filters, use_bias=False)(h)
-        # CFConv aggregation: h_i = sum_j W_ij * x_j  (ref schnet.py:185-195)
-        if self.agg == "reduce":
-            x = jnp.sum(w * x[:, None, :, :].astype(w.dtype), axis=2)
+        if self.cfconv != "xla":
+            x = fused_cfconv(edge_attr, envm, x, w1, b1, w2, b2,
+                             bf16=(self.dtype == jnp.bfloat16),
+                             impl=self.cfconv)
         else:
-            x = jnp.einsum("bijf,bjf->bif", w, x.astype(w.dtype))
-        x = dense(self.hidden_channels)(x)
+            dt = self.dtype or h.dtype
+            # filter net over the smeared distances [B,N,N,G] -> [B,N,N,Fil]
+            w = edge_attr.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+            w = shifted_softplus(w.astype(jnp.float32))
+            w = w.astype(dt) @ w2.astype(dt) + b2.astype(dt)
+            w = w * envm[..., None].astype(w.dtype)
+            # CFConv aggregation: h_i = sum_j W_ij * x_j (ref schnet.py:185-195)
+            if self.agg == "reduce":
+                x = jnp.sum(w * x[:, None, :, :].astype(w.dtype), axis=2)
+            else:
+                x = jnp.einsum("bijf,bjf->bif", w, x.astype(w.dtype))
+        x = dense(self.hidden_channels, "Dense_3")(x)
         x = shifted_softplus(x.astype(jnp.float32))
-        x = dense(self.hidden_channels)(x)
+        x = dense(self.hidden_channels, "Dense_4")(x)
         return x.astype(jnp.float32)
 
 
@@ -130,6 +150,9 @@ class SchNet(nn.Module):
     compute_dtype: Optional[str] = None
     # CFConv aggregation form; see SchNetInteraction.agg
     agg: str = "einsum"
+    # CFConv implementation; see SchNetInteraction.cfconv.  NEVER set to the
+    # kernel on a path that differentiates positions (MD17 forces).
+    cfconv: str = "xla"
 
     @nn.compact
     def __call__(
@@ -154,7 +177,7 @@ class SchNet(nn.Module):
         for _ in range(self.num_interactions):
             h = h + SchNetInteraction(
                 self.hidden_channels, self.num_filters, self.num_gaussians,
-                self.cutoff, dtype=dt, agg=self.agg
+                self.cutoff, dtype=dt, agg=self.agg, cfconv=self.cfconv
             )(h, edge_attr, cos_env, pair_mask)
 
         h = nn.Dense(self.hidden_channels, kernel_init=xavier_uniform, bias_init=zeros_init)(h)

@@ -1,0 +1,264 @@
+"""Fused SchNet CFConv: filter MLP + cutoff envelope + neighbor aggregation
+without materializing the ``[B, N, N, F]`` filter tensors in HBM.
+
+Reference semantics (Geom3D/models/schnet.py:138-195):
+
+    out[b, i, f] = sum_j env[b, i, j]
+                   * (softplus(ea[b, i, j] @ W1 + b1) - log 2) @ W2 + b2)[f]
+                   * x[b, j, f]
+
+with ``ea`` the Gaussian-smeared distances [B, N, N, G], ``env`` the cosine
+cutoff envelope times the pair mask [B, N, N], and ``x`` the per-node
+``lin1`` features [B, N, F].
+
+Why a kernel: the XLA formulation writes and re-reads two [B, N, N, F]
+filter tensors per interaction (plus their backward reads) — the honest r3
+device trace puts the six interactions' filter-net dots at 4.9 ms/step at
+batch 256, at the formulation's own HBM roofline (~330 MB fwd + ~470 MB bwd
+per interaction).  Here every pair-resident tensor lives in VMEM per batch
+tile; HBM traffic per interaction drops to reading ``ea`` once per pass
+(67 MB bf16-padded) plus the node-sized x/out.
+
+GRADIENT CONTRACT: the custom VJP returns ZEROS for ``ea`` and ``env`` —
+this kernel is for paths where positions carry no gradient (pretraining,
+property finetunes, sampling conditioning).  The MD17 force path
+(F = -grad_pos E) must use the XLA formulation; ``SchNet`` gates this via
+``cfconv_impl`` and never turns the kernel on by default.
+
+Mosaic patterns follow ops/pair_block.py / ops/score_kernel.py: vector
+params as [1, F]; pair-scalar broadcast via ``env[..., None]``; leading-dim
+merges only; weight-grad accumulation across the sequential grid via
+``pl.when(program_id)``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG2 = math.log(2.0)
+
+
+# ---------------------------------------------------------------------------
+# pure-XLA fallback (CPU tests, virtual meshes, kernel validation)
+# ---------------------------------------------------------------------------
+
+
+def _cfconv_xla(ea, env, x, w1, b1, w2, b2):
+    dt = x.dtype
+    pre = ea.astype(dt) @ w1.astype(dt) + b1[0].astype(dt)
+    s = jnp.logaddexp(pre.astype(jnp.float32), 0.0) - _LOG2
+    w = s.astype(dt) @ w2.astype(dt) + b2[0].astype(dt)
+    w = w * env[..., None].astype(dt)
+    return jnp.sum(w * x[:, None, :, :], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref):
+    """Shared fwd recompute: returns (pre f32 [X, F], w4 [TB, N, N, F])."""
+    tb, n, _, g = ea_ref.shape
+    f = w1_ref.shape[1]
+    dt = ea_ref.dtype
+    ea = ea_ref[...].reshape(tb * n * n, g)
+    pre = jax.lax.dot_general(
+        ea, w1_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    # shifted softplus in f32 (bf16 transcendentals trip the verifier)
+    s = jnp.logaddexp(pre, 0.0) - _LOG2
+    w = jax.lax.dot_general(
+        s.astype(dt), w2_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[...]
+    w4 = w.reshape(tb, n, n, f) * env_ref[...][..., None]
+    return pre, w4
+
+
+def _fwd_kernel(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref):
+    _, w4 = _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    x = x_ref[...].astype(jnp.float32)            # [TB, N, F]
+    o_ref[...] = jnp.sum(w4 * x[:, None, :, :], axis=2)
+
+
+def _bwd_kernel(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                g_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    tb, n, _, _ = ea_ref.shape
+    f = w1_ref.shape[1]
+    dt = ea_ref.dtype
+    pre, w4 = _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                        b2_ref)
+    gout = g_ref[...].astype(jnp.float32)         # [TB, N, F]
+    x = x_ref[...].astype(jnp.float32)
+
+    # dx[b, j, f] = sum_i w4[b, i, j, f] * gout[b, i, f]
+    dx_ref[...] = jnp.sum(w4 * gout[:, :, None, :], axis=1).astype(
+        dx_ref.dtype)
+
+    # d(filter)[b, i, j, f] = gout[b, i, f] * x[b, j, f] * env[b, i, j]
+    dwf = (gout[:, :, None, :] * x[:, None, :, :]
+           * env_ref[...][..., None]).reshape(tb * n * n, f)
+
+    s = jnp.logaddexp(pre, 0.0) - _LOG2
+    dwfl = dwf.astype(dt)
+    dw2 = jax.lax.dot_general(
+        s.astype(dt), dwfl, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2 = dwf.sum(axis=0)[None, :]
+    ds = jax.lax.dot_general(
+        dwfl, w2_ref[...].astype(dt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dpre = ds * jax.nn.sigmoid(pre)
+    dprel = dpre.astype(dt)
+    ea = ea_ref[...].reshape(tb * n * n, -1)
+    dw1 = jax.lax.dot_general(
+        ea, dprel, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1 = dpre.sum(axis=0)[None, :]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw1_ref[...] = dw1
+        db1_ref[...] = db1
+        dw2_ref[...] = dw2
+        db2_ref[...] = db2
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        dw1_ref[...] += dw1
+        db1_ref[...] += db1
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2
+
+
+def _pick_tb(b: int, cap: int) -> int:
+    tb = max(1, min(cap, b))
+    while b % tb:
+        tb -= 1
+    return tb
+
+
+def _common_specs(tb, n, g, f):
+    return [
+        pl.BlockSpec((tb, n, n, g), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, n, f), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_call(ea, env, x, w1, b1, w2, b2, *, interpret: bool):
+    b, n, _, g = ea.shape
+    f = w1.shape[1]
+    tb = _pick_tb(b, 8)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(b // tb,),
+        in_specs=_common_specs(tb, n, g, f),
+        out_specs=pl.BlockSpec((tb, n, f), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+        interpret=interpret,
+    )(ea, env, x, w1, b1, w2, b2)
+
+
+def _bwd_call(ea, env, x, w1, b1, w2, b2, g, *, interpret: bool):
+    b, n, _, gg = ea.shape
+    f = w1.shape[1]
+    tb = _pick_tb(b, 4)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(b // tb,),
+        in_specs=_common_specs(tb, n, gg, f) + [
+            pl.BlockSpec((tb, n, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, n, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gg, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, f), x.dtype),
+            jax.ShapeDtypeStruct((gg, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((f, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ea, env, x, w1, b1, w2, b2, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _cfconv_pallas(ea, env, x, w1, b1, w2, b2, interpret: bool):
+    return _fwd_call(ea, env, x, w1, b1, w2, b2, interpret=interpret)
+
+
+def _rule_fwd(ea, env, x, w1, b1, w2, b2, interpret):
+    out = _fwd_call(ea, env, x, w1, b1, w2, b2, interpret=interpret)
+    return out, (ea, env, x, w1, b1, w2, b2)
+
+
+def _rule_bwd(interpret, res, g):
+    ea, env, x, w1, b1, w2, b2 = res
+    dx, dw1, db1, dw2, db2 = _bwd_call(
+        ea, env, x, w1, b1, w2, b2, g, interpret=interpret)
+    # ea/env carry NO gradient by contract (positions must not require grad
+    # through this kernel — see module docstring); biases are [1, F] here
+    return (jnp.zeros_like(ea), jnp.zeros_like(env), dx,
+            dw1, db1, dw2, db2)
+
+
+_cfconv_pallas.defvjp(_rule_fwd, _rule_bwd)
+
+
+def fused_cfconv(
+    ea: jnp.ndarray,
+    env: jnp.ndarray,
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    bf16: bool = True,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Fused CFConv (module docstring): returns [B, N, F] f32.
+
+    ``ea``: [B, N, N, G] smeared distances; ``env``: [B, N, N] cutoff
+    envelope * pair mask; ``x``: [B, N, F] lin1 features; ``w1``/``b1``/
+    ``w2``/``b2``: the two filter-net dense layers.  ``impl``: "pallas" |
+    "pallas_interpret" | "xla" | "auto" (kernel on TPU, XLA elsewhere).
+    ``bf16`` runs the dots in bfloat16 (softplus and aggregation stay f32).
+    """
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return _cfconv_xla(ea.astype(dt), env, x.astype(dt),
+                           w1, b1[None, :], w2, b2[None, :])
+    if impl in ("pallas", "pallas_interpret"):
+        # vector params as [1, F] (Mosaic 1-D ref constraint)
+        return _cfconv_pallas(
+            ea.astype(dt), env.astype(jnp.float32), x.astype(dt),
+            w1.astype(jnp.float32), b1.astype(jnp.float32)[None, :],
+            w2.astype(jnp.float32), b2.astype(jnp.float32)[None, :],
+            impl == "pallas_interpret")
+    raise ValueError(f"unknown fused_cfconv impl: {impl}")
