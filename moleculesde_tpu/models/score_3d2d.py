@@ -32,6 +32,7 @@ from moleculesde_tpu.core.batch import GraphBatch, NUM_ATOM_CLASSES
 from moleculesde_tpu.core.masks import mask_adjs, mask_x, node_flags
 from moleculesde_tpu.models.layers import MLP, xavier_uniform, zeros_init
 from moleculesde_tpu.ops.attn_bank import attn_map_bank
+from moleculesde_tpu.ops.attn_qk_bank import attn_qk_bank
 from moleculesde_tpu.ops.frames import EPSILON
 from moleculesde_tpu.sde import SDE, make_sde
 
@@ -122,21 +123,29 @@ class StackedEdgeLayers(nn.Module):
         bk2 = self.param("k_bias_1", zeros_init, (c_dim, a2))
 
         dt = self.dtype or qk_in.dtype
-        qk_c = qk_in.astype(dt)
-        q = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_c, wq1.astype(dt))
-                     + bq1.astype(dt)[None, :, None])
-        q = jnp.einsum("bcna,cao->bcno", q, wq2.astype(dt)) \
-            + bq2.astype(dt)[None, :, None]
-        k = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_c, wk1.astype(dt))
-                     + bk1.astype(dt)[None, :, None])
-        k = jnp.einsum("bcna,cao->bcno", k, wk2.astype(dt)) \
-            + bk2.astype(dt)[None, :, None]
-
         # chunked heads exactly as the reference's split/cat
         # (edge_network_dense.py:66-79): chunk width attn_dim // num_heads.
         ds = self.attn_dim // self.num_heads
-        a = attn_map_bank(q, k, ds, bf16=(dt == jnp.bfloat16),
-                          impl=self.attn_impl)
+        if self.attn_impl.startswith("fused"):
+            # fully-fused bank (ops/attn_qk_bank.py): q/k nets + head-mean
+            # tanh maps in one kernel, only [B, C, N, N] touches HBM
+            a = attn_qk_bank(
+                qk_in, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, ds,
+                bf16=(dt == jnp.bfloat16),
+                impl="pallas_interpret" if self.attn_impl.endswith(
+                    "interpret") else "pallas")
+        else:
+            qk_c = qk_in.astype(dt)
+            q = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_c, wq1.astype(dt))
+                         + bq1.astype(dt)[None, :, None])
+            q = jnp.einsum("bcna,cao->bcno", q, wq2.astype(dt)) \
+                + bq2.astype(dt)[None, :, None]
+            k = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_c, wk1.astype(dt))
+                         + bk1.astype(dt)[None, :, None])
+            k = jnp.einsum("bcna,cao->bcno", k, wk2.astype(dt)) \
+                + bk2.astype(dt)[None, :, None]
+            a = attn_map_bank(q, k, ds, bf16=(dt == jnp.bfloat16),
+                              impl=self.attn_impl)
         a = (a + jnp.swapaxes(a, -1, -2)) / 2.0
 
         # dense-GCN V per channel: D^-1/2 (A_c + I) D^-1/2 X W_c + b_c
