@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from moleculesde_tpu.core.batch import GraphBatch, NUM_ATOM_CLASSES
-from moleculesde_tpu.models.layers import xavier_uniform, zeros_init
+from moleculesde_tpu.models.layers import DenseParams, xavier_uniform, zeros_init
 from moleculesde_tpu.models.schnet import pairwise_distances, radius_pair_mask
 from moleculesde_tpu.ops.fourier import cosine_cutoff, gaussian_rbf
 
@@ -45,20 +45,28 @@ class PaiNNInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, q, mu, w, dir_ij):
-        """q [B,N,F]; mu [B,N,3,F]; w [B,N,N,3F] (masked); dir_ij [B,N,N,3]."""
+        """q [B,N,F]; mu [B,N,3,F]; w [B,N,N,3F] (masked); dir_ij [B,N,N,3].
+
+        The filter application never materializes ``m = w * x_j``
+        ([B, N, N, 3F] — ~1 GB at batch 256, emb 300): each F-chunk of the
+        filter contracts directly against its consumer, so only the one
+        [B, N, N, F] product behind the dmuR term touches memory."""
         f = self.n_atom_basis
         x = _dense(f)(q)
         x = nn.silu(x)
         x = _dense(3 * f)(x)  # [B, N, 3F]
-        # pairwise filter application on the source node j
-        xj = x[:, None, :, :]  # [B, 1(N_i), N_j, 3F]
-        m = w * xj             # [B, N_i, N_j, 3F]
-        dq_ij, dmuR_ij, dmumu_ij = jnp.split(m, 3, axis=-1)
-        dq = dq_ij.sum(axis=2)
-        dmu = jnp.einsum("bijf,bijv->bivf", dmuR_ij, dir_ij) + jnp.einsum(
-            "bijf,bjvf->bivf", dmumu_ij, mu
-        )
-        return q + dq, mu + dmu
+        w_q, w_r, w_m = w[..., :f], w[..., f:2 * f], w[..., 2 * f:]
+        x_q, x_r, x_m = x[..., :f], x[..., f:2 * f], x[..., 2 * f:]
+        # dq_ij = w_q * x_j: broadcast-multiply + neighbor-axis sum
+        dq = jnp.sum(w_q * x_q[:, None, :, :], axis=2)
+        # dmuR_ij * dir_ij: the only pair-resident [B, N, N, F] product
+        dmu_r = jnp.einsum("bijf,bijv->bivf", w_r * x_r[:, None, :, :],
+                           dir_ij)
+        # dmumu_ij * mu_j = w_m * (x_j * mu_j): fold x into the node-sized
+        # mu BEFORE the pair contraction — no second pair product
+        dmu_m = jnp.einsum("bijf,bjvf->bivf", w_m,
+                           mu * x_m[:, :, None, :])
+        return q + dq, mu + dmu_r + dmu_m
 
 
 class PaiNNMixing(nn.Module):
@@ -116,13 +124,20 @@ class PaiNN(nn.Module):
         phi = gaussian_rbf(dist, self.n_rbf, self.cutoff)  # [B,N,N,R]
         fcut = cosine_cutoff(dist, self.cutoff) * pair_mask  # [B,N,N]
 
+        # one parameter tensor ("filter_net", tree identical to nn.Dense),
+        # applied per-interaction by slicing the KERNEL columns instead of
+        # the output: the single big dense materialized a
+        # [B, N, N, groups*3F] slab (~2.8 GB f32 at batch 256, emb 300)
+        # that had to live until the last interaction; per-slice
+        # application keeps the peak at one interaction's filters
         n_filter_groups = 1 if self.shared_filters else self.n_interactions
-        filters = _dense(n_filter_groups * 3 * f, name="filter_net")(phi)
-        filters = filters * fcut[..., None]
-        if self.shared_filters:
-            filter_list = [filters] * self.n_interactions
-        else:
-            filter_list = jnp.split(filters, self.n_interactions, axis=-1)
+        wf, bfilt = DenseParams(n_filter_groups * 3 * f, phi.shape[-1],
+                                name="filter_net")()
+
+        def filters_for(i: int) -> jnp.ndarray:
+            g = 0 if self.shared_filters else i
+            sl = slice(g * 3 * f, (g + 1) * 3 * f)
+            return (phi @ wf[:, sl] + bfilt[sl]) * fcut[..., None]
 
         emb = nn.Embed(self.max_z, f, embedding_init=xavier_uniform)
         zc = jnp.clip(z, 0, self.max_z - 1)
@@ -133,7 +148,7 @@ class PaiNN(nn.Module):
         mu = jnp.zeros((b, n, 3, f), dtype=q.dtype)
 
         for i in range(self.n_interactions):
-            q, mu = PaiNNInteraction(f)(q, mu, filter_list[i], dir_ij)
+            q, mu = PaiNNInteraction(f)(q, mu, filters_for(i), dir_ij)
             q, mu = PaiNNMixing(f, self.epsilon)(q, mu)
 
         m = node_mask.reshape(b, n, 1).astype(q.dtype)
