@@ -171,6 +171,19 @@ def get_parser() -> argparse.ArgumentParser:
                              "during sampling (bf16 halves HBM traffic; "
                              "<2%% relative score error, same checkpoint)")
 
+    # TPU perf knobs (beyond the reference's flag surface; defaults are the
+    # measured-fastest pretraining configuration — see README 'Performance')
+    parser.add_argument("--train_precision", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="compute dtype of the pretraining encoders and "
+                             "score networks (params/losses/BatchNorm stay "
+                             "f32); float32 disables every bf16 fast path")
+    parser.add_argument("--schnet_cfconv", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"],
+                        help="SchNet CFConv implementation for pretraining: "
+                             "'auto' = fused Pallas kernel on TPU "
+                             "(ops/cfconv.py), XLA elsewhere")
+
     # eval toggles (ref l.147-153)
     parser.add_argument("--eval_train", dest="eval_train", action="store_true")
     parser.add_argument("--no_eval_train", dest="eval_train", action="store_false")

@@ -146,6 +146,13 @@ def main(argv=None):
         lr=args.lr, decay=args.decay,
         gnn_2d_lr_scale=args.gnn_2d_lr_scale,
         gnn_3d_lr_scale=args.gnn_3d_lr_scale,
+        # TPU perf knobs (config.py additions beyond the reference surface)
+        bf16_pairs=args.train_precision == "bfloat16",
+        score_dtype_2dto3d=args.train_precision,
+        schnet_bf16=args.train_precision == "bfloat16",
+        gnn2d_bf16=args.train_precision == "bfloat16",
+        bf16_attn_3dto2d=args.train_precision == "bfloat16",
+        schnet_cfconv=args.schnet_cfconv,
     )
 
     key = jax.random.PRNGKey(args.seed)

@@ -24,7 +24,7 @@ embedding; we zero row 0 at lookup time.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -42,6 +42,10 @@ def _dense(feat, name=None, use_bias=True):
 
 class PaiNNInteraction(nn.Module):
     n_atom_basis: int
+    # bf16 pair-filter products (params, the q/mu residual streams and the
+    # mixing norms stay f32); measured r3: the f32 encoder moves ~1 GB of
+    # [B, N, N, F] filter traffic per pass at batch 256, emb 300
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, q, mu, w, dir_ij):
@@ -52,20 +56,26 @@ class PaiNNInteraction(nn.Module):
         filter contracts directly against its consumer, so only the one
         [B, N, N, F] product behind the dmuR term touches memory."""
         f = self.n_atom_basis
+        dt = self.dtype or q.dtype
         x = _dense(f)(q)
         x = nn.silu(x)
-        x = _dense(3 * f)(x)  # [B, N, 3F]
+        x = _dense(3 * f)(x).astype(dt)  # [B, N, 3F]
+        w = w.astype(dt)
         w_q, w_r, w_m = w[..., :f], w[..., f:2 * f], w[..., 2 * f:]
         x_q, x_r, x_m = x[..., :f], x[..., f:2 * f], x[..., 2 * f:]
         # dq_ij = w_q * x_j: broadcast-multiply + neighbor-axis sum
-        dq = jnp.sum(w_q * x_q[:, None, :, :], axis=2)
+        dq = jnp.sum(w_q * x_q[:, None, :, :], axis=2,
+                     dtype=jnp.float32)
         # dmuR_ij * dir_ij: the only pair-resident [B, N, N, F] product
         dmu_r = jnp.einsum("bijf,bijv->bivf", w_r * x_r[:, None, :, :],
-                           dir_ij)
+                           dir_ij.astype(dt),
+                           preferred_element_type=jnp.float32)
         # dmumu_ij * mu_j = w_m * (x_j * mu_j): fold x into the node-sized
         # mu BEFORE the pair contraction — no second pair product
         dmu_m = jnp.einsum("bijf,bjvf->bivf", w_m,
-                           mu * x_m[:, :, None, :])
+                           (mu * x_m[:, :, None, :].astype(mu.dtype)
+                            ).astype(dt),
+                           preferred_element_type=jnp.float32)
         return q + dq, mu + dmu_r + dmu_m
 
 
@@ -101,6 +111,9 @@ class PaiNN(nn.Module):
     readout: str = "add"
     shared_filters: bool = False
     epsilon: float = 1e-8
+    # "bfloat16" = mixed-precision pair-filter products (pretraining use;
+    # QM9/MD17 finetunes keep f32 — the default)
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -134,10 +147,14 @@ class PaiNN(nn.Module):
         wf, bfilt = DenseParams(n_filter_groups * 3 * f, phi.shape[-1],
                                 name="filter_net")()
 
+        fdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
         def filters_for(i: int) -> jnp.ndarray:
             g = 0 if self.shared_filters else i
             sl = slice(g * 3 * f, (g + 1) * 3 * f)
-            return (phi @ wf[:, sl] + bfilt[sl]) * fcut[..., None]
+            dt = fdt or phi.dtype
+            return (phi.astype(dt) @ wf[:, sl].astype(dt)
+                    + bfilt[sl].astype(dt)) * fcut[..., None].astype(dt)
 
         emb = nn.Embed(self.max_z, f, embedding_init=xavier_uniform)
         zc = jnp.clip(z, 0, self.max_z - 1)
@@ -148,7 +165,8 @@ class PaiNN(nn.Module):
         mu = jnp.zeros((b, n, 3, f), dtype=q.dtype)
 
         for i in range(self.n_interactions):
-            q, mu = PaiNNInteraction(f)(q, mu, filters_for(i), dir_ij)
+            q, mu = PaiNNInteraction(f, dtype=fdt)(
+                q, mu, filters_for(i), dir_ij)
             q, mu = PaiNNMixing(f, self.epsilon)(q, mu)
 
         m = node_mask.reshape(b, n, 1).astype(q.dtype)

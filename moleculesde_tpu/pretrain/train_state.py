@@ -82,6 +82,7 @@ class PretrainConfig:
     score_dtype_2dto3d: str = "bfloat16"
     schnet_bf16: bool = True
     gnn2d_bf16: bool = True
+    bf16_attn_3dto2d: bool = True
     # CFConv aggregation: "reduce" wins inside the full pretrain step
     # (layout interplay; see models/schnet.py::SchNetInteraction.agg)
     schnet_agg: str = "reduce"
@@ -132,7 +133,9 @@ def build_models(cfg: PretrainConfig) -> Dict[str, Any]:
             n_interactions=cfg.painn_n_interactions,
             n_rbf=cfg.painn_n_rbf,
             cutoff=cfg.painn_radius_cutoff,
-            readout=cfg.painn_readout)
+            readout=cfg.painn_readout,
+            # schnet_bf16 doubles as the 3D-encoder mixed-precision flag
+            compute_dtype="bfloat16" if cfg.schnet_bf16 else None)
     else:
         raise NotImplementedError(f"Model {cfg.model_3d} not included.")
 
@@ -153,6 +156,7 @@ def build_models(cfg: PretrainConfig) -> Dict[str, Any]:
         variant=cfg.sde_3dto2d_variant, sde_type=t32,
         beta_min=bmin32, beta_max=bmax32, num_diffusion_timesteps=n32,
         noise_on_one_hot=cfg.noise_on_one_hot,
+        bf16_attn=cfg.bf16_attn_3dto2d,
         attn_impl=cfg.attn_impl_3dto2d)
 
     return {
