@@ -72,17 +72,32 @@ class AtomEncoder(nn.Module):
 
 
 class BondEncoder(nn.Module):
-    """Sum of embeddings of the 3 OGB categorical bond features."""
+    """Sum of embeddings of the 3 OGB categorical bond features.
+
+    ``onehot_table`` exposes the concatenated one-hots and row-stacked
+    tables separately (same parameter tree) for the fused message kernel
+    (ops/gin_messages.py), which applies the embedding inside VMEM."""
 
     emb_dim: int
 
-    @nn.compact
+    def setup(self):
+        self.embeds = [
+            nn.Embed(dim, self.emb_dim, embedding_init=xavier_uniform,
+                     name=f"bond_embedding_{i}")
+            for i, dim in enumerate(BOND_FEATURE_DIMS)
+        ]
+
+    def onehot_table(self, edge_feats):
+        onehots = []
+        for i, dim in enumerate(BOND_FEATURE_DIMS):
+            idx = jnp.clip(edge_feats[:, i], 0, dim - 1)
+            onehots.append(idx[:, None] == jnp.arange(dim))
+        table = jnp.concatenate([e.embedding for e in self.embeds], axis=0)
+        return jnp.concatenate(onehots, axis=-1), table
+
     def __call__(self, edge_feats: jnp.ndarray) -> jnp.ndarray:
-        return _onehot_embed_sum(
-            edge_feats, BOND_FEATURE_DIMS,
-            lambda i, dim: nn.Embed(dim, self.emb_dim,
-                                    embedding_init=xavier_uniform,
-                                    name=f"bond_embedding_{i}"))
+        oh, table = self.onehot_table(edge_feats)
+        return oh.astype(table.dtype) @ table
 
 
 class GINConv(nn.Module):
@@ -97,17 +112,39 @@ class GINConv(nn.Module):
 
     emb_dim: int
     dtype: Optional[jnp.dtype] = None
+    # message-block implementation: "xla" (one-hot einsums,
+    # core/segment.py) or the fused kernel (ops/gin_messages.py)
+    msg_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_feats, node_mask, edge_mask,
                  num_graphs: int, n_max: int,
                  use_running_average: bool = False):
         dt = self.dtype or x.dtype
-        edge_emb = BondEncoder(self.emb_dim)(edge_feats)
-        x_src = edge_gather(x.astype(dt), edge_src, num_graphs, n_max,
-                            edge_mask)
-        msg = nn.relu(x_src + edge_emb.astype(dt))
-        agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask)
+        enc = BondEncoder(self.emb_dim)
+        if self.msg_impl != "xla":
+            from moleculesde_tpu.ops.gin_messages import gin_messages
+            boh, table = enc.onehot_table(edge_feats)
+            b, n = num_graphs, n_max
+            e_max = edge_src.shape[0] // b
+            em = (edge_mask.reshape(b, e_max) if edge_mask is not None
+                  else None)
+            src = (edge_src % n_max).reshape(b, e_max)
+            dst = (edge_dst % n_max).reshape(b, e_max)
+            if em is not None:
+                src = jnp.where(em, src, n_max)
+                dst = jnp.where(em, dst, n_max)
+            agg = gin_messages(
+                x.reshape(b, n, -1), src, dst,
+                boh.reshape(b, e_max, -1), table,
+                bf16=(self.dtype == jnp.bfloat16),
+                impl=self.msg_impl).reshape(b * n, -1)
+        else:
+            edge_emb = enc(edge_feats)
+            x_src = edge_gather(x.astype(dt), edge_src, num_graphs, n_max,
+                                edge_mask)
+            msg = nn.relu(x_src + edge_emb.astype(dt))
+            agg = edge_aggregate(msg, edge_dst, num_graphs, n_max, edge_mask)
         eps = self.param("eps", zeros_init, (1,))
         h = (1.0 + eps) * x + agg.astype(x.dtype)
         h = nn.Dense(2 * self.emb_dim, kernel_init=xavier_uniform,
@@ -207,6 +244,8 @@ class GNN2D(nn.Module):
     gnn_type: str = "GIN"
     # "bfloat16" = bf16 conv compute (GIN only; params/BN stats stay f32)
     compute_dtype: Optional[str] = None
+    # GIN message-block implementation; see GINConv.msg_impl
+    msg_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -221,6 +260,8 @@ class GNN2D(nn.Module):
         conv_kw = {}
         if self.gnn_type == "GIN" and self.compute_dtype == "bfloat16":
             conv_kw["dtype"] = jnp.bfloat16
+        if self.gnn_type == "GIN" and self.msg_impl != "xla":
+            conv_kw["msg_impl"] = self.msg_impl
         x = AtomEncoder(self.emb_dim)(batch.atom_feats)
         h_list = [x]
         for layer in range(self.num_layers):

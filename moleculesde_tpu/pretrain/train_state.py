@@ -83,6 +83,10 @@ class PretrainConfig:
     schnet_bf16: bool = True
     gnn2d_bf16: bool = True
     bf16_attn_3dto2d: bool = True
+    # GIN message-block implementation: "auto" = fused kernel on TPU
+    # (ops/gin_messages.py — 24.0 -> 22.4 ms/step at batch 256; kills the
+    # [B, E, F] relayout copies around the one-hot einsums), XLA elsewhere
+    gnn2d_msg: str = "auto"
     # CFConv aggregation: "reduce" wins inside the full pretrain step
     # (layout interplay; see models/schnet.py::SchNetInteraction.agg)
     schnet_agg: str = "reduce"
@@ -116,7 +120,8 @@ def build_models(cfg: PretrainConfig) -> Dict[str, Any]:
     model_2d = GNN2D(
         num_layers=cfg.num_layer, emb_dim=cfg.emb_dim, jk=cfg.jk,
         drop_ratio=cfg.dropout_ratio, gnn_type=cfg.gnn_type,
-        compute_dtype="bfloat16" if cfg.gnn2d_bf16 else None)
+        compute_dtype="bfloat16" if cfg.gnn2d_bf16 else None,
+        msg_impl=cfg.gnn2d_msg)
     if cfg.model_3d == "SchNet":
         model_3d = SchNet(
             hidden_channels=cfg.emb_dim,
