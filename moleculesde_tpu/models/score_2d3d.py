@@ -123,6 +123,64 @@ def dense_frames(pos: jnp.ndarray):
     return (diff, cross, vert), coff_s, coff_d, (pseudo_sin, pseudo_cos)
 
 
+def dense_frames_flat(pos: jnp.ndarray):
+    """:func:`dense_frames` with every plane PAIR-FLATTENED to ``[B, N*N]``.
+
+    Same math, same [b, s, d] indexing with ``p = s*N + d`` — but the minor
+    dim is N*N (a lane-exact multiple of 128 for N>=12) instead of N, so on
+    TPU every frame plane, and everything elementwise downstream of it, runs
+    at full VPU lane width with zero HBM padding.  The padded form spends 4x
+    the bandwidth at N=32 (minor 32 -> 128 lanes) across ~15 planes plus
+    their backward — the flat form is what the channel-major score pipeline
+    (``score_from_cond_cm``) consumes anyway, so this also deletes the
+    [B,N,N] -> [B,NN] relayout copies at the GFP boundary.
+
+    Returns ``(basis, (c0, c2), (pseudo_sin, pseudo_cos))``: ``basis`` is a
+    3-tuple (diff, cross, vertical) of component triples, each ``[B, N*N]``;
+    ``(c0, c2)`` are the two frame coefficients the GFP embeds (component 1
+    is |.|-folded into the basis only, ref SDE_model_2D_to_3D.py:111-118);
+    the unused ``coff_d`` triple is not returned (derived by the s<->d
+    symmetry at the caller).
+    """
+    b, n, _ = pos.shape
+    comps = [pos[..., k] for k in range(3)]                # [B, N]
+    ps = [jnp.repeat(c, n, axis=1) for c in comps]         # source: p // N
+    pd = [jnp.tile(c, (1, n)) for c in comps]              # dest:   p % N
+
+    diff = [s - d for s, d in zip(ps, pd)]
+    cross = [ps[1] * pd[2] - ps[2] * pd[1],
+             ps[2] * pd[0] - ps[0] * pd[2],
+             ps[0] * pd[1] - ps[1] * pd[0]]
+
+    def _norm3(v):
+        return jnp.sqrt(v[0] ** 2 + v[1] ** 2 + v[2] ** 2 + _SQRT_GUARD)
+
+    dn = _norm3(diff) + EPSILON
+    diff = [v / dn for v in diff]
+    cn = _norm3(cross) + EPSILON
+    cross = [v / cn for v in cross]
+    vert = [diff[1] * cross[2] - diff[2] * cross[1],
+            diff[2] * cross[0] - diff[0] * cross[2],
+            diff[0] * cross[1] - diff[1] * cross[0]]
+
+    def proj(r):
+        return (
+            diff[0] * r[0] + diff[1] * r[1] + diff[2] * r[2],
+            jnp.abs(cross[0] * r[0] + cross[1] * r[1] + cross[2] * r[2]),
+            vert[0] * r[0] + vert[1] * r[1] + vert[2] * r[2],
+        )
+
+    coff_s = proj(ps)
+    coff_d = proj(pd)
+    dot = sum(a * b_ for a, b_ in zip(coff_s, coff_d))
+    ns = _norm3(coff_s)
+    nd = _norm3(coff_d)
+    pseudo_cos = dot / (ns + EPSILON) / (nd + EPSILON)
+    pseudo_sin = jnp.sqrt(jnp.clip(1.0 - pseudo_cos ** 2, 1e-12))
+    return ((diff, cross, vert), (coff_s[0], coff_s[2]),
+            (pseudo_sin, pseudo_cos))
+
+
 class DenseGATLayer(nn.Module):
     """TransformerConv + FFN with post-norm residuals (ref
     equivariant_scorenetwork.py:13-40) as masked dense attention.
@@ -279,7 +337,15 @@ class EquivariantScoreNetwork(nn.Module):
 
         # per-dest valid-source counts for the EquiLayer mean (ref l.43-81)
         count = jnp.maximum(pair_mask.sum(axis=1), 1)
-        maskf = pair_mask.astype(node_attr.dtype)
+        if channel_major:
+            # flat pipeline (dense_frames_flat): mask as [B, N*N], and the
+            # EquiLayer source-mean as a [N*N, N] selector matmul (sum over
+            # p with p % N == d) — MXU instead of a lane-padded reduce
+            maskf = pair_mask.reshape(b, n * n).astype(node_attr.dtype)
+            sel_d = (jnp.arange(n * n)[:, None] % n
+                     == jnp.arange(n)[None, :]).astype(jnp.float32)
+        else:
+            maskf = pair_mask.astype(node_attr.dtype)
 
         for module_idx in range(self.num_layers):
             for conv_idx in range(self.num_convs):
@@ -333,31 +399,38 @@ class EquivariantScoreNetwork(nn.Module):
                 ]
 
             def coff_mix_cm(node_f, edge_cm, basis, maskf, wh, we, be, wo, bo):
-                # coff-mix for the channel-major pipeline.  The basis-MLP
-                # block itself runs FEATURE-minor: at coff_dim=128 the
-                # [B, N, N, 128] slab is exactly lane-width (no padding),
+                # coff-mix for the flat channel-major pipeline.  The
+                # basis-MLP block runs FEATURE-minor: at coff_dim=128 the
+                # [B, N*N, 128] slab is exactly lane-width (no padding),
                 # the silu consumes the dot outputs in their natural layout,
                 # and the closing einsum contracts the minor dim — whereas a
                 # channel-major [B, 128, N*N] slab forced XLA to relayout
                 # e_part AND the silu result around every dot (HLO copy
-                # inventory: 4x 16 MB copies/eval, ~130 us/step).  The cm
-                # edge enters through the dot's dimension numbers (einsum on
-                # the [B, C, N*N] operand directly), so no transpose
-                # materializes.
+                # inventory: 4x 16 MB copies/eval, ~130 us/step).  The
+                # component planes ``c`` and the basis mixing stay flat
+                # ([B, N*N] minor — the [3, B, N, N] form lane-padded 4x and
+                # billed ~1.2 ms/step fwd+bwd in the r3 trace); the closing
+                # source-mean is the ``sel_d`` selector dot.
                 dt = self.dtype or node_f.dtype
                 cd = wh.shape[1]
                 h_part = node_f.astype(dt) @ wh.astype(dt)        # [B, N, cd]
                 e_part = (jnp.einsum("bcp,co->bpo", edge_cm.astype(dt),
                                      we.astype(dt))
-                          + be.astype(dt)).reshape(b, n, n, cd)
+                          + be.astype(dt))                        # [B,NN,cd]
+                # pair add in the 4-D broadcast form (fuses into the silu
+                # with nothing materialized — repeat/tile would write the
+                # 67 MB broadcasts); [B, N, N, cd] and [B, NN, cd] share one
+                # memory layout at cd=128 minor, so the closing reshape is
+                # a free leading-dim merge
                 coff = jax.nn.silu(
-                    h_part[:, :, None, :] + h_part[:, None, :, :] + e_part)
-                c = jnp.einsum("bsdf,fc->cbsd", coff, wo.astype(dt)
-                               ).astype(jnp.float32) \
-                    + bo[:, None, None, None]
+                    h_part[:, :, None, :] + h_part[:, None, :, :]
+                    + e_part.reshape(b, n, n, cd))
+                c = jnp.einsum("bpf,fc->cbp", coff.reshape(b, n * n, cd),
+                               wo.astype(dt)).astype(jnp.float32) \
+                    + bo[:, None, None]                           # [3, B, NN]
                 return [
                     ((c[0] * bx[0] + c[1] * bx[1] + c[2] * bx[2]) * maskf
-                     ).sum(axis=1)
+                     ) @ sel_d
                     for bx in zip(*basis)
                 ]
 
@@ -615,7 +688,11 @@ class SDEModel2Dto3D(nn.Module):
         assert edge2d_cm.ndim == 3, "cond must be precomputed with layout='channel'"
         pos3 = pos.reshape(b, n, 3)
 
-        basis, coff_s, coff_d, (pseudo_sin, pseudo_cos) = dense_frames(pos3)
+        # frame planes natively pair-flattened [B, N*N]: zero lane padding
+        # for the whole frame pipeline and its backward (the [B, N, N] form
+        # runs the ~15 planes at 25% lane utilization), and no relayout
+        # copies at the GFP boundary
+        basis, (c0, c2), (pseudo_sin, pseudo_cos) = dense_frames_flat(pos3)
 
         w_coff = jax.lax.stop_gradient(self.coff_fourier_W)
         wm, bm = self.coff_mlp()
@@ -628,8 +705,8 @@ class SDEModel2Dto3D(nn.Module):
         # SAME sin/cos slab pushed through coff_mlp with the sin(c0) weight
         # block negated (sin odd, cos even).  Halves the chain's dominant
         # transcendental cost (device trace: 444us/step of sine fusions).
-        e0 = gaussian_fourier_projection_cm(coff_s[0].reshape(b, nn_), w_coff)
-        e2 = gaussian_fourier_projection_cm(coff_s[2].reshape(b, nn_), w_coff)
+        e0 = gaussian_fourier_projection_cm(c0, w_coff)
+        e2 = gaussian_fourier_projection_cm(c2, w_coff)
         full = jnp.concatenate([e0, e2], axis=1).astype(cdt)  # [B, 4h, NN]
         wm_c = wm.astype(cdt)      # rows: [sin0 | cos0 | sin2 | cos2]
         wm_neg = jnp.concatenate([-wm_c[:h], wm_c[h:]], axis=0)
@@ -639,15 +716,18 @@ class SDEModel2Dto3D(nn.Module):
                    ).reshape(b, h, n, n).swapaxes(2, 3).reshape(b, h, nn_) \
             + bm_c
         edge_embed = jnp.concatenate(
-            [pseudo_sin.reshape(b, 1, nn_).astype(cdt),
-             pseudo_cos.reshape(b, 1, nn_).astype(cdt), embed_s, embed_d],
+            [pseudo_sin[:, None, :].astype(cdt),
+             pseudo_cos[:, None, :].astype(cdt), embed_s, embed_d],
             axis=1)
         frame_inv = self.project(edge_embed, channel_major=True)
 
         if self.variant == 2:
-            sq = sum((pos3[..., k][:, :, None] - pos3[..., k][:, None, :]) ** 2
+            # componentwise pair distances, natively flat (repeat = source
+            # index p // N, tile = dest index p % N — broadcasts, fused)
+            sq = sum((jnp.repeat(pos3[..., k], n, axis=1)
+                      - jnp.tile(pos3[..., k], (1, n))) ** 2
                      for k in range(3))
-            dist = jnp.sqrt(sq + _SQRT_GUARD).reshape(b, nn_)
+            dist = jnp.sqrt(sq + _SQRT_GUARD)
             w_dist = jax.lax.stop_gradient(self.dist_fourier_W)
             dist_emb = gaussian_fourier_projection_cm(dist, w_dist)
             dist_inv = self.input_mlp(dist_emb, channel_major=True)

@@ -135,15 +135,25 @@ class StackedEdgeLayers(nn.Module):
                 impl="pallas_interpret" if self.attn_impl.endswith(
                     "interpret") else "pallas")
         else:
+            # q and k consume the SAME input, so their two-layer MLPs run as
+            # ONE bank: layer 1 concatenates the kernels along the output
+            # axis, layer 2 is a block-diagonal [2a2, 2a2] kernel (q and k
+            # halves never mix).  Halves the big-dot count of the bank —
+            # the r3 device trace showed the step op-count-bound, and the
+            # same one-dot merge already paid off in the 2D->3D _attend_cm.
+            # Parameter tree unchanged (merged at apply time).
             qk_c = qk_in.astype(dt)
-            q = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_c, wq1.astype(dt))
-                         + bq1.astype(dt)[None, :, None])
-            q = jnp.einsum("bcna,cao->bcno", q, wq2.astype(dt)) \
-                + bq2.astype(dt)[None, :, None]
-            k = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_c, wk1.astype(dt))
-                         + bk1.astype(dt)[None, :, None])
-            k = jnp.einsum("bcna,cao->bcno", k, wk2.astype(dt)) \
-                + bk2.astype(dt)[None, :, None]
+            w1 = jnp.concatenate([wq1, wk1], axis=-1).astype(dt)
+            b1 = jnp.concatenate([bq1, bk1], axis=-1).astype(dt)
+            qk1 = jnp.tanh(jnp.einsum("bnf,cfa->bcna", qk_c, w1)
+                           + b1[None, :, None])
+            z = jnp.zeros_like(wq2)
+            w2 = jnp.concatenate([
+                jnp.concatenate([wq2, z], axis=-1),
+                jnp.concatenate([z, wk2], axis=-1)], axis=-2).astype(dt)
+            b2 = jnp.concatenate([bq2, bk2], axis=-1).astype(dt)
+            qk2 = jnp.einsum("bcna,cao->bcno", qk1, w2) + b2[None, :, None]
+            q, k = qk2[..., :a2], qk2[..., a2:]
             a = attn_map_bank(q, k, ds, bf16=(dt == jnp.bfloat16),
                               impl=self.attn_impl)
         a = (a + jnp.swapaxes(a, -1, -2)) / 2.0

@@ -217,6 +217,45 @@ def _attn_map_bank_xla(q, k, ds: int):
     return jnp.mean(jnp.tanh(u), axis=2, dtype=jnp.float32)
 
 
+def _attn_map_bank_xla_wide(q, k, ds: int):
+    """Lane-exact reformulation of the per-head logits.
+
+    The standard XLA path materializes ``u`` as ``[B, C, H, N, N]`` whose
+    minor dim N=32 lane-pads 4x (the r3 trace bills ~2.3 ms/step fwd+bwd to
+    this cluster at batch 256).  Here the head axis is fused into the lane
+    axis instead: one batched dot against a head-blocked key tensor yields
+    ``u`` as ``[B, C, N, H*N]`` (minor 256 = two exact lanes, zero padding),
+    tanh runs on the unpadded tensor, and the head mean is a tiny
+    ``[H*N, N]`` selector matmul (MXU, f32 accumulation) — the same
+    mean-via-matmul trick the score-kernel uses for row sums.
+
+      kblk[b,c,a,h*N+m] = k[b,c,m,a] * (a // ds == h)
+      u[b,c,n,h*N+m]    = sum_a q[b,c,n,a] kblk[b,c,a,h*N+m]
+                        = q_h[b,c,n] . k_h[b,c,m]          (exact same math)
+
+    The extra FLOPs (the dot contracts the full A axis per head instead of
+    ds) are ~1 GFLOP at batch 256 — noise on the MXU; the traffic saving is
+    the win.  Numerics match the standard path: logits and tanh in the
+    operand dtype, head mean accumulated in f32.
+    """
+    b, c, n, a = q.shape
+    h = a // ds
+    kT = jnp.swapaxes(k, -1, -2)                       # [B, C, A, N]
+    # tile along the minor axis (concat — no relayout), then zero the
+    # off-head blocks with a constant [A, H*N] mask
+    ktile = jnp.tile(kT, (1, 1, 1, h))                 # [B, C, A, H*N]
+    lane = jnp.arange(h * n) // n                      # block index per lane
+    blk = (jnp.arange(a)[:, None] // ds == lane[None, :]).astype(q.dtype)
+    u = jnp.einsum("bcna,bcaz->bcnz", q, ktile * blk) / jnp.asarray(
+        math.sqrt(ds), q.dtype)
+    t = jnp.tanh(u)
+    sel = jnp.tile(jnp.eye(n, dtype=q.dtype), (h, 1)) / jnp.asarray(
+        h, q.dtype)                                    # [H*N, N]
+    return jax.lax.dot_general(
+        t, sel, (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [B, C, N, N] f32
+
+
 def attn_map_bank(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -237,10 +276,16 @@ def attn_map_bank(
     q = jnp.asarray(q)
     k = jnp.asarray(k)
     if impl == "auto":
-        impl = "xla"
+        # "wide" measured 23.4 -> 22.2 ms/step on the full batch-256 pretrain
+        # step (v5e-1, r3 ab_step.py) by keeping the per-head logits lane
+        # exact; on CPU the standard form avoids the tile/selector overhead
+        impl = "wide" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         dt = jnp.bfloat16 if bf16 else jnp.float32
         return _attn_map_bank_xla(q.astype(dt), k.astype(dt), ds)
+    if impl == "wide":
+        dt = jnp.bfloat16 if bf16 else jnp.float32
+        return _attn_map_bank_xla_wide(q.astype(dt), k.astype(dt), ds)
     if impl in ("pallas", "pallas_interpret"):
         # keep the caller's storage dtype (bf16 on the production path):
         # casting to f32 at this boundary materializes convert-copies around
