@@ -65,6 +65,10 @@ def main():
 
     results = []
     for name, overrides in variants:
+        overrides = dict(overrides)
+        if "attend_flat" in overrides:  # module-level experiment flag
+            import moleculesde_tpu.models.score_2d3d as s23
+            s23.ATTEND_FLAT = bool(overrides.pop("attend_flat"))
         cfg = PretrainConfig(emb_dim=EMB, dropout_ratio=0.0,
                              cl_similarity_metric="EBM_node_dot_prod",
                              **overrides)

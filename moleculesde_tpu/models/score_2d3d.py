@@ -41,6 +41,19 @@ from moleculesde_tpu.sde import SDE, make_sde
 
 _SQRT_GUARD = 1e-24
 
+# DenseGATLayer channel-major attention: True runs the pair elementwise work
+# on flat [B, hd, N*N] tensors (lane-exact; only the softmax keeps the
+# [s, d]-structured form).  MEASURED AND REJECTED on v5e-1 (r3 ab runs):
+# sampler 0.85 -> 1.60 ms/PC step at B=64, full pretrain step 21.8 -> 23.9
+# ms at B=256 — the repeat/tile broadcasts, the softmax-boundary relayouts
+# and the selector dot ADD more ops than the lane padding costs, on both the
+# op-count-bound sampler and the bandwidth-bound step.  (Contrast with the
+# same flat treatment of the FRAME planes, which won: those are pure
+# elementwise chains with no softmax/structured op forcing [s, d] form.)
+# Kept as a module-level A/B switch (benchmarks/ab_sampler.py / ab_step.py
+# 'attend_flat' variant); both forms are numerically equivalent.
+ATTEND_FLAT = False
+
 
 def _safe_norm(x, axis=-1, keepdims=True):
     return jnp.sqrt(jnp.sum(x ** 2, axis=axis, keepdims=keepdims) + _SQRT_GUARD)
@@ -287,8 +300,33 @@ class DenseGATLayer(nn.Module):
         qT, kT, vT = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
         e_cm = (jnp.einsum("bcp,co->bop", edge_cm.astype(dt), ek.astype(dt))
                 + eb.astype(dt)[None, :, None])      # [B, hd, NN]
-        e4 = e_cm.reshape(b, hd, n, n)               # [b, C, s, d]
 
+        if ATTEND_FLAT:
+            # pair elementwise work on FLAT [B, hd, N*N] tensors (lane
+            # exact) — only the softmax runs in the [s, d]-structured form,
+            # with one relayout each way on the small [B, H, N, N] logits;
+            # the source-sum of the message runs as a [NN, N] selector dot
+            ks = jnp.repeat(kT, n, axis=2)           # source: p // N
+            qd = jnp.tile(qT, (1, 1, n))             # dest:   p % N
+            ke = (ks + e_cm) * qd                    # [B, hd, NN]
+            logits = (ke.reshape(b, h, c, n * n).sum(axis=2)
+                      .astype(jnp.float32) / jnp.sqrt(float(c))
+                      ).reshape(b, h, n, n)
+            neg = jnp.finfo(logits.dtype).min
+            l4 = jnp.where(pair_mask[:, None, :, :], logits, neg)
+            alpha = jax.nn.softmax(l4, axis=2)       # over sources s (f32)
+            alpha = alpha * pair_mask[:, None, :, :]
+            alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
+            af = jnp.broadcast_to(
+                alpha.reshape(b, h, n * n).astype(dt)[:, :, None],
+                (b, h, c, n * n)).reshape(b, hd, n * n)
+            m2 = af * (jnp.repeat(vT, n, axis=2) + e_cm)   # [B, hd, NN]
+            sel = (jnp.arange(n * n)[:, None] % n
+                   == jnp.arange(n)[None, :]).astype(dt)
+            msg = jnp.einsum("bcp,pd->bdc", m2, sel)       # [B, N, hd]
+            return msg
+
+        e4 = e_cm.reshape(b, hd, n, n)               # [b, C, s, d]
         ke = (kT[:, :, :, None] + e4) * qT[:, :, None, :]   # [b, C, s, d]
         logits = (ke.reshape(b, h, c, n, n).sum(axis=2)     # head-blocked sum
                   .astype(jnp.float32) / jnp.sqrt(float(c)))
