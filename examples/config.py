@@ -165,6 +165,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--corrector_steps", type=int, default=None,
                         help="override for the corrector inner-step count; "
                              "defaults to --steps_pos (reference semantics)")
+    parser.add_argument("--sample_mols_per_batch", type=int, default=1,
+                        help="pack this many test molecules (x num_repeat "
+                             "clones each) into ONE padded batch per PC "
+                             "chain.  The reference runs one molecule per "
+                             "chain (inference 2D->3D l.29-39); on TPU the "
+                             "chain is op-count-bound at small batches, so "
+                             "batching molecules multiplies generation "
+                             "throughput at near-constant chain latency")
     parser.add_argument("--sampler_precision", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"],
                         help="compute dtype of the 2D->3D score pipeline "

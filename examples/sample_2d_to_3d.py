@@ -102,34 +102,48 @@ def main(argv=None):
             sde_model, v23, node_2d, batch, key,
             n_steps=sample_steps, corrector_steps=corrector_steps)
 
+    from moleculesde_tpu.core.batch import pad_graphs
+
+    rep = args.num_repeat_SDE_inference
+    k_mols = max(1, args.sample_mols_per_batch)
+    mols = graphs[args.start : args.end]
     results = []
-    for i, g in enumerate(graphs[args.start : args.end]):
-        batch = repeat_graph_batch(g, args.num_repeat_SDE_inference,
-                                   n_max, e_max, ext_e_max)
+    for c0 in range(0, len(mols), k_mols):
+        chunk = mols[c0 : c0 + k_mols]
+        # pad the final chunk with clones of its last molecule so the jitted
+        # chain keeps one static batch shape; the extras are discarded below
+        padded = chunk + [chunk[-1]] * (k_mols - len(chunk))
+        glist = [g for g in padded for _ in range(rep)]
+        batch = pad_graphs(glist, n_max=n_max, e_max=e_max,
+                           ext_e_max=ext_e_max)
         key, sub = jax.random.split(key)
         t0 = time.time()
-        pos_gen = np.asarray(generate(batch, sub))
-        n_atoms = g["atom_feats"].shape[0]
-        pos_gen = pos_gen.reshape(args.num_repeat_SDE_inference, n_max, 3)[:, :n_atoms]
-        entry = {
-            "atom_feats": g["atom_feats"],
-            "positions_true": g.get("positions"),
-            "pos_gen": pos_gen,
-            "num_pos_gen": args.num_repeat_SDE_inference,
-        }
-        msg = (f"molecule {i}: {n_atoms} atoms, "
-               f"{args.num_repeat_SDE_inference} conformers in {time.time()-t0:.2f}s")
-        if g.get("positions") is not None:
-            from moleculesde_tpu.utils.rmsd import coverage_matching
+        pos_all = np.asarray(generate(batch, sub)).reshape(
+            k_mols, rep, n_max, 3)
+        chunk_dt = time.time() - t0
+        for j, g in enumerate(chunk):
+            i = c0 + j
+            n_atoms = g["atom_feats"].shape[0]
+            pos_gen = pos_all[j, :, :n_atoms]
+            entry = {
+                "atom_feats": g["atom_feats"],
+                "positions_true": g.get("positions"),
+                "pos_gen": pos_gen,
+                "num_pos_gen": rep,
+            }
+            msg = (f"molecule {i}: {n_atoms} atoms, {rep} conformers in "
+                   f"{chunk_dt / len(chunk):.2f}s")
+            if g.get("positions") is not None:
+                from moleculesde_tpu.utils.rmsd import coverage_matching
 
-            cov, mat = coverage_matching(
-                pos_gen, np.asarray(g["positions"])[None],
-                threshold=args.threshold or 0.5)
-            entry["cov"] = cov
-            entry["mat"] = mat
-            msg += f"  COV={cov:.3f} MAT={mat:.3f}"
-        results.append(entry)
-        print(msg)
+                cov, mat = coverage_matching(
+                    pos_gen, np.asarray(g["positions"])[None],
+                    threshold=args.threshold or 0.5)
+                entry["cov"] = cov
+                entry["mat"] = mat
+                msg += f"  COV={cov:.3f} MAT={mat:.3f}"
+            results.append(entry)
+            print(msg)
 
     if args.output_model_dir:
         os.makedirs(args.output_model_dir, exist_ok=True)

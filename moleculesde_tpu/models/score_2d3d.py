@@ -36,7 +36,8 @@ from moleculesde_tpu.models.layers import (
 from moleculesde_tpu.ops.fourier import (
     gaussian_fourier_projection, gaussian_fourier_projection_cm)
 from moleculesde_tpu.ops.frames import EPSILON
-from moleculesde_tpu.ops.pair_block import pair_relu_project
+from moleculesde_tpu.ops.pair_block import (
+    pair_relu_project, pair_relu_project_cm)
 from moleculesde_tpu.sde import SDE, make_sde
 
 _SQRT_GUARD = 1e-24
@@ -528,6 +529,15 @@ class SDEModel2Dto3D(nn.Module):
     # path.  Identical parameters and math either way (equivalence tested
     # per variant in tests/test_score_models.py).
     loss_layout: str = "channel"
+    # opt-in: emit the variant-1/2 edge embedding channel-major straight from
+    # the Pallas kernel (ops/pair_block.py::pair_relu_project_cm) instead of
+    # feature-minor + caller transpose.  Validated (tests/test_pair_block.py)
+    # but measured NEUTRAL-to-negative in the full training step on v5e
+    # (23.6 ms vs 22.0-23.4 ms baseline process variance @ B=256): the
+    # transposed [B,C,N] input relayouts + f32 [B,H,NN] kernel write offset
+    # the deleted 0.44 ms caller-side transpose.  Kept for N>32 shapes where
+    # the feature-minor write's 4x lane padding grows quadratically.
+    pair_cm_direct: bool = False
 
     @property
     def sde_pos(self) -> SDE:
@@ -609,13 +619,21 @@ class SDEModel2Dto3D(nn.Module):
         h2d = node_2d_repr.reshape(b, n, -1)
 
         # --- 2D edge embedding -------------------------------------------------
+        cm_direct = False
         if self.variant in (1, 2):
             src_p, dst_p = self.edge_2D_emb_0(h2d)
             a, c = self.edge_2D_emb_bn(src_p, dst_p, pair_mask,
                                        use_running_average)
             w1, b1 = self.edge_2D_emb_1()
-            edge_attr_2d = pair_relu_project(
-                a, c, w1, b1, bf16=self.bf16_pairs, impl=self.pair_impl)
+            if layout == "channel" and self.pair_cm_direct:
+                # kernel emits [B, H, N*N] directly — no feature-minor
+                # (4x-padded) write and no caller-side relayout
+                edge_attr_2d = pair_relu_project_cm(
+                    a, c, w1, b1, bf16=self.bf16_pairs, impl=self.pair_impl)
+                cm_direct = True
+            else:
+                edge_attr_2d = pair_relu_project(
+                    a, c, w1, b1, bf16=self.bf16_pairs, impl=self.pair_impl)
         else:
             if self.variant == 3:
                 src_p, dst_p = self.edge_2D_emb(h2d)
@@ -635,7 +653,7 @@ class SDEModel2Dto3D(nn.Module):
             edge_attr_2d = edge_attr_2d + bond_emb
 
         node_attr = self.node_emb(h2d)
-        if layout == "channel":
+        if layout == "channel" and not cm_direct:
             # [B, N, N, H] -> [B, H, N*N]: pair tensors with the big axis
             # minor are lane-padding-free on TPU (score_from_cond_cm)
             edge_attr_2d = edge_attr_2d.reshape(b, n * n, -1).transpose(0, 2, 1)

@@ -238,6 +238,214 @@ def _pallas_bwd_rule(bf16, interpret, res, g):
 _pair_relu_project_pallas.defvjp(_pallas_fwd_rule, _pallas_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# channel-major output variant: out [B, H, N*N]
+# ---------------------------------------------------------------------------
+
+
+def _expanders(n: int, dt):
+    """In-VMEM selector matrices [N, N*N]: E_s (p // N == s), E_d (p % N == d).
+    Built from 2-D iotas (1-D iotas get replicated-lane layouts on Mosaic)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, n * n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n * n), 0)
+    es = (lane // n == row).astype(dt)
+    ed = (lane % n == row).astype(dt)
+    return es, ed
+
+
+def _fwd_kernel_cm(at_ref, ct_ref, w_ref, o_ref, *, bf16: bool):
+    """at/ct: [TB, C, N] transposed halves -> o [TB, H, N*N] (p = s*N + d).
+
+    The pair slab is built TRANSPOSED ([C, N*N], lane-exact minor) by two
+    selector matmuls on the MXU — Mosaic cannot merge the two minor dims of
+    a [TB, C, N, N] broadcast, and the feature-minor form would pad H=32 to
+    128 lanes on the write (4x HBM traffic, plus a relayout copy in the
+    caller that wants channel-major)."""
+    tb, cdim, n = at_ref.shape
+    h = w_ref.shape[1]
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    es, ed = _expanders(n, dt)
+    at = at_ref[...].astype(dt)
+    ct = ct_ref[...].astype(dt)
+    pair = (
+        jax.lax.dot_general(at, es, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(ct, ed, (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )                                               # [TB, C, NN]
+    pair = jnp.maximum(pair, 0.0).astype(dt)
+    wb = jnp.broadcast_to(w_ref[...].astype(dt).T[None], (tb, h, cdim))
+    o = jax.lax.dot_general(
+        wb, pair, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # [TB, H, NN]
+    # bias added by the wrapper: H is the SUBLANE dim of the output here, and
+    # a [1, H, 1]-shaped operand trips Mosaic relayout (CLAUDE.md); the
+    # wrapper-side add fuses into the (unpadded) consumer instead
+    o_ref[...] = o
+
+
+def _bwd_kernel_cm(at_ref, ct_ref, w_ref, g_ref, dat_ref, dct_ref, dw_ref,
+                   *, bf16: bool):
+    tb, cdim, n = at_ref.shape
+    h = w_ref.shape[1]
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    es, ed = _expanders(n, dt)
+    at = at_ref[...].astype(dt)
+    ct = ct_ref[...].astype(dt)
+    pair = (
+        jax.lax.dot_general(at, es, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(ct, ed, (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    relu = jnp.maximum(pair, 0.0).astype(dt)        # [TB, C, NN]
+    g = g_ref[...].astype(dt)                       # [TB, H, NN]
+
+    wb = jnp.broadcast_to(w_ref[...].astype(dt)[None], (tb, cdim, h))
+    dpair = jax.lax.dot_general(
+        wb, g, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # [TB, C, NN]
+    dpair = jnp.where(pair > 0.0, dpair, 0.0).astype(dt)
+
+    dat_ref[...] = jax.lax.dot_general(
+        dpair, es, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # [TB, C, N]
+    dct_ref[...] = jax.lax.dot_general(
+        dpair, ed, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dw = jax.lax.dot_general(
+        relu, g, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).sum(axis=0)  # [C, H]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = dw
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        dw_ref[...] += dw
+
+
+def _fwd_call_cm(at, ct, w, *, bf16: bool, interpret: bool):
+    b, cdim, n = at.shape
+    h = w.shape[-1]
+    per = n * n * cdim * (2 if bf16 else 4)  # pair slab bytes per batch row
+    tb = max(1, min(b, (6 * 1024 * 1024) // per))
+    while b % tb:
+        tb -= 1
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_cm, bf16=bf16),
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, cdim, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, cdim, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, h, n * n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n * n), jnp.float32),
+        interpret=interpret,
+    )(at, ct, w)
+
+
+def _bwd_call_cm(at, ct, w, g, *, bf16: bool, interpret: bool):
+    b, cdim, n = at.shape
+    h = w.shape[-1]
+    per = n * n * cdim * (2 if bf16 else 4)
+    tb = max(1, min(b, (3 * 1024 * 1024) // per))
+    while b % tb:
+        tb -= 1
+    dat, dct, dw = pl.pallas_call(
+        functools.partial(_bwd_kernel_cm, bf16=bf16),
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, cdim, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, cdim, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, h, n * n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, cdim, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, cdim, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdim, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cdim, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, cdim, n), jnp.float32),
+            jax.ShapeDtypeStruct((cdim, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(at, ct, w, g)
+    return dat, dct, dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pair_relu_project_cm_pallas(at, ct, w, bf16: bool, interpret: bool):
+    return _fwd_call_cm(at, ct, w, bf16=bf16, interpret=interpret)
+
+
+def _cm_fwd_rule(at, ct, w, bf16, interpret):
+    return (_fwd_call_cm(at, ct, w, bf16=bf16, interpret=interpret),
+            (at, ct, w))
+
+
+def _cm_bwd_rule(bf16, interpret, res, g):
+    at, ct, w = res
+    dat, dct, dw = _bwd_call_cm(at, ct, w, g, bf16=bf16, interpret=interpret)
+    return dat, dct, dw
+
+
+_pair_relu_project_cm_pallas.defvjp(_cm_fwd_rule, _cm_bwd_rule)
+
+
+def pair_relu_project_cm(
+    a: jnp.ndarray,
+    c: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    bf16: bool = False,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """``out[b, h, s*N + d] = relu(a[b, s, :] + c[b, d, :]) @ w + b`` ->
+    [B, H, N*N], the channel-major layout the cm score pipeline consumes.
+
+    Same math as :func:`pair_relu_project`; emitting channel-major from the
+    kernel deletes the caller-side [B, NN, H] -> [B, H, NN] relayout
+    (0.44 ms/step fwd+bwd at batch 256 in the r3 trace) and writes the
+    output lane-exact instead of 4x-padded.  The input halves are fed to the
+    kernel transposed ([B, C, N] — two small node-tensor relayouts).
+    """
+    a = a.astype(jnp.float32)
+    c = c.astype(jnp.float32)
+    w = w.astype(jnp.float32)
+    h = w.shape[-1]
+    bsz, n, _ = a.shape
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        out = pair_relu_project(a, c, w, b, bf16=bf16, impl="xla")
+        return out.reshape(bsz, n * n, h).transpose(0, 2, 1)
+    at = jnp.swapaxes(a, 1, 2)
+    ct = jnp.swapaxes(c, 1, 2)
+    out = _pair_relu_project_cm_pallas(at, ct, w, bf16,
+                                       impl == "pallas_interpret")
+    if b is not None:
+        # bias outside the kernel: H is the output's sublane dim (a [1,H,1]
+        # in-kernel operand trips Mosaic relayout); this add fuses into the
+        # unpadded consumer
+        out = out + b.astype(jnp.float32)[None, :, None]
+    return out
+
+
 def pair_relu_project(
     a: jnp.ndarray,
     c: jnp.ndarray,

@@ -126,9 +126,10 @@ def test_score_model_pair_impls_agree():
                                 (batch.num_nodes, emb))
     losses = {}
     variables = None
-    for impl in ("xla", "pallas_interpret"):
+    for impl, cm_direct in (("xla", False), ("pallas_interpret", False),
+                            ("pallas_interpret", True)):
         model = SDEModel2Dto3D(emb_dim=emb, hidden_dim=8, variant=1,
-                               pair_impl=impl)
+                               pair_impl=impl, pair_cm_direct=cm_direct)
         if variables is None:
             variables = model.init({"params": key, "dropout": key},
                                    node_2d, batch, key,
@@ -137,7 +138,47 @@ def test_score_model_pair_impls_agree():
             variables, node_2d, batch, key, 0.0, True, False,
             mutable=["batch_stats"], rngs={"dropout": key},
             method=SDEModel2Dto3D.loss)
-        losses[impl] = float(out["position"])
-    assert np.isfinite(losses["xla"])
-    np.testing.assert_allclose(losses["pallas_interpret"], losses["xla"],
+        losses[(impl, cm_direct)] = float(out["position"])
+    ref = losses[("xla", False)]
+    assert np.isfinite(ref)
+    np.testing.assert_allclose(losses[("pallas_interpret", False)], ref,
                                rtol=1e-5)
+    # cm-direct opt-in: kernel emits [B, H, N*N]; same loss
+    np.testing.assert_allclose(losses[("pallas_interpret", True)], ref,
+                               rtol=1e-5)
+
+
+def test_pair_relu_project_cm_matches_feature_form(data):
+    """Channel-major kernel output == transposed feature-form output, and
+    all grads agree (the cm kernel builds the pair slab via selector
+    matmuls and emits [B, H, N*N] directly)."""
+    from moleculesde_tpu.ops.pair_block import pair_relu_project_cm
+
+    src, dst, mask, w = data
+    b, n, _ = src.shape
+    h = w.shape[-1]
+    bias = jnp.linspace(-0.5, 0.5, h)
+
+    ref = pair_relu_project(src, dst, w, bias, impl="xla")
+    ref_cm = ref.reshape(b, n * n, h).transpose(0, 2, 1)
+    out = pair_relu_project_cm(src, dst, w, bias, impl="pallas_interpret")
+    assert out.shape == (b, h, n * n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_cm), atol=1e-5)
+    # xla fallback of the cm wrapper
+    out_xla = pair_relu_project_cm(src, dst, w, bias, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(ref_cm),
+                               atol=1e-5)
+
+    def scalar(fn, impl):
+        def f(a, c, ww, bb):
+            out = fn(a, c, ww, bb, impl=impl)
+            return jnp.sum(out * out)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(src, dst, w, bias)
+
+    for g_ref, g_k in zip(
+            scalar(pair_relu_project, "xla"),
+            scalar(lambda *a, impl: pair_relu_project_cm(*a, impl=impl),
+                   "pallas_interpret")):
+        np.testing.assert_allclose(
+            np.asarray(g_k).reshape(-1), np.asarray(g_ref).reshape(-1),
+            atol=1e-4, rtol=1e-4)
