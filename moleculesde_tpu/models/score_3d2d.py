@@ -330,10 +330,16 @@ class SDEModel3Dto2D(nn.Module):
         return self.num_class_x if self.noise_on_one_hot else 1
 
     @nn.compact
-    def _apply_networks(self, node_3d_repr_dense, x, adj, flags):
+    def _apply_networks(self, node_3d_repr_dense, x, adj, flags,
+                        which: str = "both"):
         """Condition the node state on the 3D latent (ref l.156 / l.326 /
         l.496-497) and run both score networks; returns raw (net_x, net_adj)
-        outputs (before the -/std scaling of get_score_fn)."""
+        outputs (before the -/std scaling of get_score_fn).
+
+        ``which`` ∈ {"both", "x", "adj"} skips the unused network when a
+        caller needs only one score (the joint PC sampler's inner corrector
+        steps update adj alone); the skipped entry is returned as ``None``.
+        """
         emb3d = nn.Dense(self.dim3d, kernel_init=xavier_uniform,
                          name="embedding_3D")(node_3d_repr_dense)
         embx = nn.Dense(self.dim3d, kernel_init=xavier_uniform,
@@ -352,11 +358,11 @@ class SDEModel3Dto2D(nn.Module):
             dtype=jnp.bfloat16 if self.bf16_attn else None,
             attn_impl=self.attn_impl,
             name="edge_score_network",
-        )(cond, adj, flags, node_3d)
+        )(cond, adj, flags, node_3d) if which in ("both", "adj") else None
         net_x = NodeScoreNetworkDense(
             nhid=self.nhid, depth=self.num_layers, nout=self._x_channels(),
             node_3d_dim=inject, name="node_score_network",
-        )(cond, adj, flags, node_3d)
+        )(cond, adj, flags, node_3d) if which in ("both", "x") else None
         return net_x, net_adj
 
     # ------------------------------------------------------------------ loss
@@ -435,12 +441,29 @@ class SDEModel3Dto2D(nn.Module):
     def score_x(self, node_3d_repr_dense, x, adj, flags, t):
         """Node score at sampler state (x, adj) (ref inference script
         pretrain_MoleculeSDE_inference_3D_to_2D_VE_VP.py:227-237)."""
-        net_x, _ = self._apply_networks(node_3d_repr_dense, x, adj, flags)
+        net_x, _ = self._apply_networks(node_3d_repr_dense, x, adj, flags,
+                                        which="x")
         std = self.sde_x.marginal_prob(jnp.zeros_like(adj), t)[1]
         return -net_x / std[:, None, None]
 
     def score_adj(self, node_3d_repr_dense, x, adj, flags, t):
         """Adjacency score at sampler state (x, adj) (ref ibid. l.239-249)."""
-        _, net_adj = self._apply_networks(node_3d_repr_dense, x, adj, flags)
+        _, net_adj = self._apply_networks(node_3d_repr_dense, x, adj, flags,
+                                          which="adj")
         std = self.sde_adj.marginal_prob(jnp.zeros_like(adj), t)[1]
         return -net_adj / std[:, None, None]
+
+    def scores(self, node_3d_repr_dense, x, adj, flags, t):
+        """Both scores from ONE dual-network evaluation.
+
+        The joint PC sampler's corrector phase and predictor phase each read
+        the SAME (x, adj) state for their x- and adj-updates (ref inference
+        3D->2D l.135-143), so a single ``_apply_networks`` pass serves both —
+        the per-score methods each ran the full dual network and discarded
+        half of it."""
+        net_x, net_adj = self._apply_networks(node_3d_repr_dense, x, adj,
+                                              flags)
+        std_x = self.sde_x.marginal_prob(jnp.zeros_like(adj), t)[1]
+        std_adj = self.sde_adj.marginal_prob(jnp.zeros_like(adj), t)[1]
+        return (-net_x / std_x[:, None, None],
+                -net_adj / std_adj[:, None, None])

@@ -221,9 +221,9 @@ def sample_graph_pc(
     # NB: reference initializes adj from the *asymmetric* prior (l.121)
     adj = mask_adjs(sde_adj.prior_sampling(k_adj, (b, n, n)), flags)
 
-    def score_x(x_cond, adj_in, t):
+    def scores_both(x_cond, adj_in, t):
         return model.apply(variables, node_3d, x_cond, adj_in, flags, t,
-                           method=SDEModel3Dto2D.score_x)
+                           method=SDEModel3Dto2D.scores)
 
     def score_adj(x_cond, adj_in, t):
         return model.apply(variables, node_3d, x_cond, adj_in, flags, t,
@@ -237,63 +237,60 @@ def sample_graph_pc(
         z = jnp.triu(z, k=1)
         return mask_adjs(z + jnp.swapaxes(z, -1, -2), flags)
 
-    def corrector_x(x_in, adj_in, t, key):
-        alpha = sde_x.corrector_alpha(t)
-        # conditioning held at the entry x (reference corrector quirk, l.227-236)
-        grad = score_x(x_in, adj_in, t)
+    # Both corrector updates read the pre-phase (x, adj) (ref l.135-138) and
+    # both predictor updates read the post-corrector (x, adj) (ref l.140-143),
+    # so each phase needs ONE dual-network evaluation, not two single-score
+    # evaluations that each run the full dual network (2x fewer score-model
+    # passes per PC step at corrector_steps=1; the x-corrector additionally
+    # holds its gradient at the phase entry — reference quirk l.227-236 —
+    # and only the adj-corrector's inner steps re-evaluate, adj-net only).
+    def corrector_phase(x_in, adj_in, t, k_adj, k_x):
+        grad_x, grad_adj = scores_both(x_in, adj_in, t)
+        alpha_x = sde_x.corrector_alpha(t)
+        alpha_adj = sde_adj.corrector_alpha(t)
+
+        aa, adj_mean, g = adj_in, adj_in, grad_adj
+        key = k_adj
+        for i in range(corrector_steps):
+            if i > 0:
+                g = score_adj(x_in, aa, t)
+            key, sub = jax.random.split(key)
+            noise = gen_noise_adj(sub)
+            gn = jnp.sqrt(jnp.sum(g.reshape(b, -1) ** 2, -1) + 1e-24).mean()
+            nn_ = jnp.sqrt(jnp.sum(noise.reshape(b, -1) ** 2, -1) + 1e-24).mean()
+            step = (snr * nn_ / jnp.maximum(gn, 1e-12)) ** 2 * 2 * alpha_adj
+            adj_mean = aa + step[:, None, None] * g
+            aa = adj_mean + jnp.sqrt(step * 2)[:, None, None] * noise * scale_eps
+
         xx, x_mean = x_in, x_in
+        key = k_x
         for _ in range(corrector_steps):
             key, sub = jax.random.split(key)
             noise = gen_noise_x(sub)
-            gn = jnp.sqrt(jnp.sum(grad.reshape(b, -1) ** 2, -1) + 1e-24).mean()
+            gn = jnp.sqrt(jnp.sum(grad_x.reshape(b, -1) ** 2, -1) + 1e-24).mean()
             nn_ = jnp.sqrt(jnp.sum(noise.reshape(b, -1) ** 2, -1) + 1e-24).mean()
-            step = (snr * nn_ / jnp.maximum(gn, 1e-12)) ** 2 * 2 * alpha
-            x_mean = xx + step[:, None, None] * grad
+            step = (snr * nn_ / jnp.maximum(gn, 1e-12)) ** 2 * 2 * alpha_x
+            x_mean = xx + step[:, None, None] * grad_x
             xx = x_mean + jnp.sqrt(step * 2)[:, None, None] * noise * scale_eps
-        return xx, x_mean
+        return xx, aa, x_mean, adj_mean
 
-    def corrector_adj(x_in, adj_in, t, key):
-        alpha = sde_adj.corrector_alpha(t)
-        aa, adj_mean = adj_in, adj_in
-        for _ in range(corrector_steps):
-            grad = score_adj(x_in, aa, t)
-            key, sub = jax.random.split(key)
-            noise = gen_noise_adj(sub)
-            gn = jnp.sqrt(jnp.sum(grad.reshape(b, -1) ** 2, -1) + 1e-24).mean()
-            nn_ = jnp.sqrt(jnp.sum(noise.reshape(b, -1) ** 2, -1) + 1e-24).mean()
-            step = (snr * nn_ / jnp.maximum(gn, 1e-12)) ** 2 * 2 * alpha
-            adj_mean = aa + step[:, None, None] * grad
-            aa = adj_mean + jnp.sqrt(step * 2)[:, None, None] * noise * scale_eps
-        return aa, adj_mean
-
-    def predictor_x(x_in, adj_in, t, key):
-        score = score_x(x_in, adj_in, t)
-        f, G = sde_x.reverse_discretize(x_in, t, score, probability_flow)
-        z = gen_noise_x(key)
-        x_mean = x_in - f
-        return x_mean + G[:, None, None] * z, x_mean
-
-    def predictor_adj(x_in, adj_in, t, key):
-        score = score_adj(x_in, adj_in, t)
-        f, G = sde_adj.reverse_discretize(adj_in, t, score, probability_flow)
-        z = gen_noise_adj(key)
-        adj_mean = adj_in - f
-        return adj_mean + G[:, None, None] * z, adj_mean
+    def predictor_phase(x_in, adj_in, t, k_adj, k_x):
+        grad_x, grad_adj = scores_both(x_in, adj_in, t)
+        f_a, G_a = sde_adj.reverse_discretize(adj_in, t, grad_adj,
+                                              probability_flow)
+        adj_mean = adj_in - f_a
+        adj_out = adj_mean + G_a[:, None, None] * gen_noise_adj(k_adj)
+        f_x, G_x = sde_x.reverse_discretize(x_in, t, grad_x, probability_flow)
+        x_mean = x_in - f_x
+        x_out = x_mean + G_x[:, None, None] * gen_noise_x(k_x)
+        return x_out, adj_out, x_mean, adj_mean
 
     def scan_step(carry, t):
         x, adj, _, _, key = carry
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
         tv = jnp.full((b,), t)
-
-        # corrector phase: both read the pre-phase (x, adj) (ref l.135-138)
-        _x, _adj = x, adj
-        adj, adj_mean = corrector_adj(_x, _adj, tv, k1)
-        x, x_mean = corrector_x(_x, _adj, tv, k2)
-
-        # predictor phase (ref l.140-143)
-        _x, _adj = x, adj
-        adj, adj_mean = predictor_adj(_x, _adj, tv, k3)
-        x, x_mean = predictor_x(_x, _adj, tv, k4)
+        x, adj, x_mean, adj_mean = corrector_phase(x, adj, tv, k1, k2)
+        x, adj, x_mean, adj_mean = predictor_phase(x, adj, tv, k3, k4)
         return (x, adj, x_mean, adj_mean, key), None
 
     init = (x, adj, x, adj, k_scan)
