@@ -229,13 +229,49 @@ def sample_graph_pc(
         return model.apply(variables, node_3d, x_cond, adj_in, flags, t,
                            method=SDEModel3Dto2D.score_adj)
 
-    def gen_noise_x(key):
-        return mask_x(jax.random.normal(key, (b, n, c)), flags)
+    def shape_noise_x(z):
+        return mask_x(z.reshape(b, n, c), flags)
 
-    def gen_noise_adj(key):
-        z = jax.random.normal(key, (b, n, n))
+    def shape_noise_adj(z):
+        z = z.reshape(b, n, n)
         z = jnp.triu(z, k=1)
         return mask_adjs(z + jnp.swapaxes(z, -1, -2), flags)
+
+    # Hoisted per-chain randomness + schedule scalars (same op-count rationale
+    # as sample_positions_pc above): every graph shares a step's scalar t, so
+    # both corrector alphas are [n_steps] lookups computed once, and ALL chain
+    # noise comes from one batched threefry — each scan step consumes one
+    # pre-drawn flat slab sliced into its 2*(1 + corrector_steps) noises,
+    # instead of a 5-way key split plus 4+ small RNG programs per step.  The
+    # slab is hoisted only while it stays under 128 MB; above that, each step
+    # draws its own flat slab from a per-step key (one RNG program/step).
+    alphas_x = sde_x.corrector_alpha(timesteps)
+    alphas_adj = sde_adj.corrector_alpha(timesteps)
+    flat_x, flat_adj = b * n * c, b * n * n
+    per_step = (1 + corrector_steps) * (flat_x + flat_adj)
+    hoist_noise = diff_steps * per_step * 4 <= 128 * 1024 * 1024
+    if hoist_noise:
+        noise_xs = jax.random.normal(k_scan, (diff_steps, per_step))
+        step_keys = None
+    else:
+        noise_xs = None
+        step_keys = jax.random.split(k_scan, diff_steps)
+
+    def slice_noises(slab):
+        """Split one flat [per_step] slab into (corrector adj[s], corrector
+        x[s], predictor adj, predictor x) shaped noises."""
+        off = 0
+        c_adj, c_x = [], []
+        for _ in range(corrector_steps):
+            c_adj.append(shape_noise_adj(slab[off:off + flat_adj]))
+            off += flat_adj
+        for _ in range(corrector_steps):
+            c_x.append(shape_noise_x(slab[off:off + flat_x]))
+            off += flat_x
+        p_adj = shape_noise_adj(slab[off:off + flat_adj])
+        off += flat_adj
+        p_x = shape_noise_x(slab[off:off + flat_x])
+        return c_adj, c_x, p_adj, p_x
 
     # Both corrector updates read the pre-phase (x, adj) (ref l.135-138) and
     # both predictor updates read the post-corrector (x, adj) (ref l.140-143),
@@ -244,55 +280,57 @@ def sample_graph_pc(
     # passes per PC step at corrector_steps=1; the x-corrector additionally
     # holds its gradient at the phase entry — reference quirk l.227-236 —
     # and only the adj-corrector's inner steps re-evaluate, adj-net only).
-    def corrector_phase(x_in, adj_in, t, k_adj, k_x):
+    def corrector_phase(x_in, adj_in, t, alpha_x, alpha_adj, c_adj, c_x):
         grad_x, grad_adj = scores_both(x_in, adj_in, t)
-        alpha_x = sde_x.corrector_alpha(t)
-        alpha_adj = sde_adj.corrector_alpha(t)
 
         aa, adj_mean, g = adj_in, adj_in, grad_adj
-        key = k_adj
         for i in range(corrector_steps):
             if i > 0:
                 g = score_adj(x_in, aa, t)
-            key, sub = jax.random.split(key)
-            noise = gen_noise_adj(sub)
+            noise = c_adj[i]
             gn = jnp.sqrt(jnp.sum(g.reshape(b, -1) ** 2, -1) + 1e-24).mean()
             nn_ = jnp.sqrt(jnp.sum(noise.reshape(b, -1) ** 2, -1) + 1e-24).mean()
             step = (snr * nn_ / jnp.maximum(gn, 1e-12)) ** 2 * 2 * alpha_adj
-            adj_mean = aa + step[:, None, None] * g
-            aa = adj_mean + jnp.sqrt(step * 2)[:, None, None] * noise * scale_eps
+            adj_mean = aa + step * g
+            aa = adj_mean + jnp.sqrt(step * 2) * noise * scale_eps
 
         xx, x_mean = x_in, x_in
-        key = k_x
-        for _ in range(corrector_steps):
-            key, sub = jax.random.split(key)
-            noise = gen_noise_x(sub)
+        for i in range(corrector_steps):
+            noise = c_x[i]
             gn = jnp.sqrt(jnp.sum(grad_x.reshape(b, -1) ** 2, -1) + 1e-24).mean()
             nn_ = jnp.sqrt(jnp.sum(noise.reshape(b, -1) ** 2, -1) + 1e-24).mean()
             step = (snr * nn_ / jnp.maximum(gn, 1e-12)) ** 2 * 2 * alpha_x
-            x_mean = xx + step[:, None, None] * grad_x
-            xx = x_mean + jnp.sqrt(step * 2)[:, None, None] * noise * scale_eps
+            x_mean = xx + step * grad_x
+            xx = x_mean + jnp.sqrt(step * 2) * noise * scale_eps
         return xx, aa, x_mean, adj_mean
 
-    def predictor_phase(x_in, adj_in, t, k_adj, k_x):
+    def predictor_phase(x_in, adj_in, t, p_adj, p_x):
         grad_x, grad_adj = scores_both(x_in, adj_in, t)
         f_a, G_a = sde_adj.reverse_discretize(adj_in, t, grad_adj,
                                               probability_flow)
         adj_mean = adj_in - f_a
-        adj_out = adj_mean + G_a[:, None, None] * gen_noise_adj(k_adj)
+        adj_out = adj_mean + G_a[:, None, None] * p_adj
         f_x, G_x = sde_x.reverse_discretize(x_in, t, grad_x, probability_flow)
         x_mean = x_in - f_x
-        x_out = x_mean + G_x[:, None, None] * gen_noise_x(k_x)
+        x_out = x_mean + G_x[:, None, None] * p_x
         return x_out, adj_out, x_mean, adj_mean
 
-    def scan_step(carry, t):
-        x, adj, _, _, key = carry
-        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+    def scan_step(carry, xs):
+        x, adj, _, _ = carry
+        if hoist_noise:
+            t, a_x, a_adj, slab = xs
+        else:
+            t, a_x, a_adj, sk = xs
+            slab = jax.random.normal(sk, (per_step,))
+        c_adj, c_x, p_adj, p_x = slice_noises(slab)
         tv = jnp.full((b,), t)
-        x, adj, x_mean, adj_mean = corrector_phase(x, adj, tv, k1, k2)
-        x, adj, x_mean, adj_mean = predictor_phase(x, adj, tv, k3, k4)
-        return (x, adj, x_mean, adj_mean, key), None
+        x, adj, x_mean, adj_mean = corrector_phase(x, adj, tv, a_x, a_adj,
+                                                   c_adj, c_x)
+        x, adj, x_mean, adj_mean = predictor_phase(x, adj, tv, p_adj, p_x)
+        return (x, adj, x_mean, adj_mean), None
 
-    init = (x, adj, x, adj, k_scan)
-    (x, adj, x_mean, adj_mean, _), _ = jax.lax.scan(scan_step, init, timesteps)
+    xs = (timesteps, alphas_x, alphas_adj,
+          noise_xs if hoist_noise else step_keys)
+    init = (x, adj, x, adj)
+    (x, adj, x_mean, adj_mean), _ = jax.lax.scan(scan_step, init, xs)
     return x, adj, x_mean, adj_mean
