@@ -35,7 +35,7 @@ from moleculesde_tpu.models.layers import (
     xavier_uniform, zeros_init)
 from moleculesde_tpu.ops.fourier import (
     gaussian_fourier_projection, gaussian_fourier_projection_cm)
-from moleculesde_tpu.ops.frames import EPSILON
+from moleculesde_tpu.ops.common import EPSILON
 from moleculesde_tpu.ops.pair_block import (
     pair_relu_project, pair_relu_project_cm)
 from moleculesde_tpu.sde import SDE, make_sde
@@ -82,7 +82,7 @@ class PairDense(nn.Module):
 def dense_frames(pos: jnp.ndarray):
     """All-pairs frame basis + invariant coefficients on [B, N, 3] positions.
 
-    Dense analogue of ops.frames.frame_features (reference coord2basis,
+    Dense analogue of ops.rejected.frames_edgelist.frame_features (reference coord2basis,
     SDE_model_2D_to_3D.py:35-47 and the coefficient block l.162-178), indexed
     ``[b, s, d]`` to match edge (row=s, col=d).  NaN-safe on the diagonal and
     padded rows via sqrt guards.

@@ -31,9 +31,8 @@ from flax import linen as nn
 from moleculesde_tpu.core.batch import GraphBatch, NUM_ATOM_CLASSES
 from moleculesde_tpu.core.masks import mask_adjs, mask_x, node_flags
 from moleculesde_tpu.models.layers import MLP, xavier_uniform, zeros_init
-from moleculesde_tpu.ops.attn_bank import attn_map_bank
-from moleculesde_tpu.ops.attn_qk_bank import attn_qk_bank
-from moleculesde_tpu.ops.frames import EPSILON
+from moleculesde_tpu.ops.attn_maps import attn_map_bank
+from moleculesde_tpu.ops.common import EPSILON
 from moleculesde_tpu.sde import SDE, make_sde
 
 
@@ -90,9 +89,10 @@ class StackedEdgeLayers(nn.Module):
     # the bank's dominant HBM traffic (r3 honest trace: ~2 ms per layer in
     # f32 at B=256).  Params and the returned maps stay f32.
     dtype: Optional[jnp.dtype] = None
-    # attention-map implementation (ops/attn_bank.py): "auto" = the XLA
-    # einsum bank ("pallas" opt-in loses 3.6 ms/step end-to-end to boundary
-    # relayout despite a 1.3x in-kernel win — see attn_bank.py docstring)
+    # attention-map implementation (ops/attn_maps.py): "auto" = the lane-
+    # exact "wide" XLA bank on TPU ("pallas" opt-in loses 3.6 ms/step
+    # end-to-end to boundary relayout despite a 1.3x in-kernel win — see
+    # ops/rejected/attn_bank.py docstring)
     attn_impl: str = "auto"
 
     @nn.compact
@@ -127,8 +127,10 @@ class StackedEdgeLayers(nn.Module):
         # (edge_network_dense.py:66-79): chunk width attn_dim // num_heads.
         ds = self.attn_dim // self.num_heads
         if self.attn_impl.startswith("fused"):
-            # fully-fused bank (ops/attn_qk_bank.py): q/k nets + head-mean
-            # tanh maps in one kernel, only [B, C, N, N] touches HBM
+            # fully-fused bank (measured-and-rejected, -4.0 ms/step: see
+            # ops/rejected/attn_qk_bank.py): q/k nets + head-mean tanh maps
+            # in one kernel, only [B, C, N, N] touches HBM
+            from moleculesde_tpu.ops.rejected.attn_qk_bank import attn_qk_bank
             a = attn_qk_bank(
                 qk_in, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, ds,
                 bf16=(dt == jnp.bfloat16),
@@ -307,7 +309,7 @@ class SDEModel3Dto2D(nn.Module):
     noise_mode: str = "discrete"
     # bf16 attention bank (params/losses f32); see StackedEdgeLayers.dtype
     bf16_attn: bool = True
-    # attention-map implementation (ops/attn_bank.py); see StackedEdgeLayers
+    # attention-map implementation (ops/attn_maps.py); see StackedEdgeLayers
     attn_impl: str = "auto"
     sde_type: str = "VE"
     beta_min: float = 0.1

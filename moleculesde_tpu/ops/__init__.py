@@ -1,3 +1,4 @@
+from moleculesde_tpu.ops.common import EPSILON, safe_norm
 from moleculesde_tpu.ops.fourier import (
     gaussian_fourier_projection,
     gaussian_smearing,
@@ -5,7 +6,6 @@ from moleculesde_tpu.ops.fourier import (
     cosine_cutoff,
     shifted_softplus,
 )
-from moleculesde_tpu.ops.frames import coord2basis, frame_features, EPSILON
 
 __all__ = [
     "gaussian_fourier_projection",
@@ -13,7 +13,6 @@ __all__ = [
     "gaussian_rbf",
     "cosine_cutoff",
     "shifted_softplus",
-    "coord2basis",
-    "frame_features",
+    "safe_norm",
     "EPSILON",
 ]

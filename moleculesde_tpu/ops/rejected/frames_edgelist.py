@@ -1,4 +1,9 @@
-"""Per-edge SE(3)-equivariant frames and reflection-anti-symmetric features.
+"""Edge-list per-edge SE(3)-equivariant frames — NON-PRODUCTION reference spec.
+
+Superseded by the dense masked-pair formulation
+(``moleculesde_tpu.models.score_2d3d.dense_frames``), which production uses;
+this module is retained as the readable spec and the property-test oracle
+(tests/test_ops.py) for frame equivariance/reflection semantics.
 
 Re-implementation of the reference's frame construction (reference
 Geom3D/models/MoleculeSDE/SDE_model_2D_to_3D.py:35-47 ``coord2basis`` and the
@@ -24,15 +29,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-EPSILON = 1e-6
-# Tiny additive guard inside sqrt so padded (all-zero) edges have finite
-# gradients under jax.grad: d/dx sqrt(x) -> inf at x=0 otherwise.  Changes
-# values by < 1e-12, i.e. far below EPSILON.
-_SQRT_GUARD = 1e-24
-
-
-def _safe_norm(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:
-    return jnp.sqrt(jnp.sum(x ** 2, axis=axis, keepdims=keepdims) + _SQRT_GUARD)
+from moleculesde_tpu.ops.common import EPSILON, safe_norm as _safe_norm
 
 
 def coord2basis(

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from moleculesde_tpu.ops.frames import EPSILON
+from moleculesde_tpu.ops.common import EPSILON
 
 _SQRT_GUARD = 1e-24
 

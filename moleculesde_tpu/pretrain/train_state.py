@@ -95,8 +95,8 @@ class PretrainConfig:
     # "auto" = fused Pallas kernel on TPU (24.0 vs 24.4 ms/step at batch 256,
     # SchNet filter dots 4.9 -> 0 ms + fewer relayout copies), XLA elsewhere.
     schnet_cfconv: str = "auto"
-    # 3D->2D attention-map implementation (ops/attn_bank.py):
-    # "auto" = fused Pallas bank on TPU, XLA einsums elsewhere
+    # 3D->2D attention-map implementation (ops/attn_maps.py):
+    # "auto" = the lane-exact "wide" XLA bank on TPU, standard XLA elsewhere
     attn_impl_3dto2d: str = "auto"
     # contrastive (config.py:98-103)
     cl_similarity_metric: str = "EBM_node_dot_prod"

@@ -1,4 +1,5 @@
-"""Fused attention-map bank (ops/attn_bank.py) validated against the XLA
+"""Attention-map bank implementations (live dispatcher ops/attn_maps.py;
+rejected Pallas kernel ops/rejected/attn_bank.py) validated against the XLA
 per-head einsum formulation it replaces (reference
 edge_network_dense.py:66-79 semantics: chunked-head q/k dots -> tanh ->
 head mean)."""
@@ -8,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from moleculesde_tpu.ops.attn_bank import attn_map_bank
+from moleculesde_tpu.ops.attn_maps import attn_map_bank
 
 
 @pytest.fixture(scope="module")
@@ -28,6 +29,27 @@ def test_attn_bank_pallas_matches_xla(qk):
         assert out_xla.shape == (4, 3, 8, 8)
         np.testing.assert_allclose(np.asarray(out_pls), np.asarray(out_xla),
                                    atol=1e-5)
+
+
+def test_attn_bank_wide_matches_xla(qk):
+    """The lane-exact "wide" formulation (TPU default via impl="auto") is
+    the same math as the standard per-head einsum path."""
+    q, k = qk
+    for ds in (2, 4):
+        out_xla = attn_map_bank(q, k, ds, impl="xla")
+        out_wide = attn_map_bank(q, k, ds, impl="wide")
+        np.testing.assert_allclose(np.asarray(out_wide), np.asarray(out_xla),
+                                   atol=1e-5)
+    # and its autodiff (einsum VJP) agrees too
+    def f(impl):
+        def scalar(qq, kk):
+            out = attn_map_bank(qq, kk, 4, impl=impl)
+            w = jnp.arange(out.size).reshape(out.shape) / out.size
+            return jnp.sum(out * w)
+        return jax.grad(scalar, argnums=(0, 1))(q, k)
+    for g_ref, g_w in zip(f("xla"), f("wide")):
+        np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-4)
 
 
 def test_attn_bank_grads_match_xla(qk):

@@ -1,4 +1,5 @@
-"""Fully-fused q/k attention bank (ops/attn_qk_bank.py) validated against
+"""Fully-fused q/k attention bank (rejected; ops/rejected/attn_qk_bank.py)
+validated against
 the stacked-einsum XLA formulation it replaces (reference
 edge_network_dense.py:48-79 semantics)."""
 
@@ -7,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from moleculesde_tpu.ops.attn_qk_bank import attn_qk_bank
+from moleculesde_tpu.ops.rejected.attn_qk_bank import attn_qk_bank
 
 
 @pytest.fixture(scope="module")

@@ -4,15 +4,17 @@ import numpy as np
 import pytest
 
 from moleculesde_tpu.ops import (
-    coord2basis,
     cosine_cutoff,
-    frame_features,
     gaussian_fourier_projection,
     gaussian_rbf,
     gaussian_smearing,
     shifted_softplus,
 )
-from moleculesde_tpu.ops.frames import perturb_distance
+from moleculesde_tpu.ops.rejected.frames_edgelist import (
+    coord2basis,
+    frame_features,
+    perturb_distance,
+)
 
 
 def _random_rotation(key):
