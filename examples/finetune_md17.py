@@ -118,14 +118,32 @@ def main(argv=None):
     state, tx = create_md17_state(
         model, init_batch, key, lr=args.lr, schedule=schedule,
         weight_decay=args.decay, pretrained_encoder_params=pretrained)
+    # data-parallel mesh (SURVEY.md section 2): state replicated, frames
+    # sharded on the molecule axis (energy+force grads all-reduce over ICI)
+    mesh = None
+    if (args.num_devices or 1) > 1:
+        from moleculesde_tpu.parallel import make_mesh, replicate
+
+        if bs % args.num_devices or args.batch_size % args.num_devices:
+            raise SystemExit(
+                "train and eval batch sizes must be divisible by "
+                f"--num_devices={args.num_devices} (got {bs} / "
+                f"{args.batch_size})")
+        mesh = make_mesh(args.num_devices)
+        state = replicate(state, mesh)
+        key = replicate(key, mesh)
     train_step, eval_step = make_md17_steps(
         model, tx, args.MD17_energy_coeff, args.MD17_force_coeff,
-        energy_scale=e_scale, energy_shift=e_shift, schedule=schedule)
+        energy_scale=e_scale, energy_shift=e_shift, schedule=schedule,
+        mesh=mesh)
 
     # Device-side eval accumulation: per-batch (energy-err, count, force-err,
     # count) sums stay on device; sync happens only at print points (first
     # D2H permanently degrades dispatch latency on tunneled TPUs; CLAUDE.md).
-    @jax.jit
+    from moleculesde_tpu.finetune.common import finetune_jit
+
+    @lambda f: finetune_jit(f, mesh, ("repl", "data", "data"),
+                            ("repl", "repl", "repl", "repl"))
     def err_step(state, batch, gm):
         pred_e, pred_f = eval_step(state, batch)
         b, n = batch.num_graphs, batch.n_max
@@ -147,6 +165,12 @@ def main(argv=None):
                 acc[2] / jnp.maximum(acc[3], 1.0))
 
     from moleculesde_tpu.data.loader import device_prefetch
+
+    put_fn = None
+    if mesh is not None:
+        from moleculesde_tpu.parallel import shard_batch
+
+        put_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
     from moleculesde_tpu.finetune.common import make_best_tracker
 
     logger = MetricsLogger(args.output_model_dir or None)
@@ -158,7 +182,8 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
         total, nb = None, 0
-        for batch, n_real in device_prefetch(iter(train_loader), size=2):
+        for batch, n_real in device_prefetch(iter(train_loader), size=2,
+                                             put_fn=put_fn):
             gm = np.arange(batch.num_graphs) < n_real
             y_e = (batch.y[:, 0] - e_shift) / e_scale
             y_f = batch.forces / e_scale

@@ -130,12 +130,31 @@ def main(argv=None):
     state, tx = create_classification_state(
         model, init_batch, key, lr=args.lr, schedule=schedule,
         weight_decay=args.decay, pretrained_gnn_params=pretrained)
+    # data-parallel mesh (SURVEY.md section 2): state replicated, batches
+    # sharded on the molecule axis; gradients/BN stats all-reduce over ICI
+    mesh = None
+    if (args.num_devices or 1) > 1:
+        from moleculesde_tpu.parallel import make_mesh, replicate
+
+        if args.batch_size % args.num_devices:
+            raise SystemExit(f"--batch_size must be divisible by "
+                             f"--num_devices={args.num_devices}")
+        mesh = make_mesh(args.num_devices)
+        state = replicate(state, mesh)
+        key = replicate(key, mesh)
     # schedule is traced inside the step (no per-batch host LR computation)
-    train_step, eval_step = make_classification_steps(model, tx, schedule)
+    train_step, eval_step = make_classification_steps(model, tx, schedule,
+                                                      mesh=mesh)
     evaluate = make_evaluate(eval_step)
 
     from moleculesde_tpu.data.loader import device_prefetch
     from moleculesde_tpu.finetune.common import make_best_tracker
+
+    put_fn = None
+    if mesh is not None:
+        from moleculesde_tpu.parallel import shard_batch
+
+        put_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
 
     logger = MetricsLogger(args.output_model_dir or None)
     lr_dev = jnp.asarray(args.lr)
@@ -149,7 +168,8 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
         total, n = None, 0
-        for batch, n_real in device_prefetch(iter(train_loader), size=2):
+        for batch, n_real in device_prefetch(iter(train_loader), size=2,
+                                             put_fn=put_fn):
             gm = np.arange(batch.num_graphs) < n_real
             state, loss = train_step(state, batch, key, gm, lr_dev)
             total = loss if total is None else total + loss

@@ -138,18 +138,34 @@ def main(argv=None):
     state, tx = create_regression_state(
         model, init_batch, key, lr=args.lr, schedule=schedule,
         weight_decay=args.decay, pretrained_encoder_params=pretrained)
+    # data-parallel mesh (SURVEY.md section 2): state replicated, batches
+    # sharded on the molecule axis; gradients/metrics all-reduce over ICI
+    mesh = None
+    if (args.num_devices or 1) > 1:
+        from moleculesde_tpu.parallel import make_mesh, replicate
+
+        if args.batch_size % args.num_devices:
+            raise SystemExit(f"--batch_size must be divisible by "
+                             f"--num_devices={args.num_devices}")
+        mesh = make_mesh(args.num_devices)
+        state = replicate(state, mesh)
+        key = replicate(key, mesh)
     # schedule is traced inside the step; the explicit lr arg only serves the
     # host-driven plateau controller
     train_step, eval_step = make_regression_steps(model, tx, args.loss,
-                                                  schedule)
+                                                  schedule, mesh=mesh)
 
     # Eval stays fully on device: per-batch (abs-err-sum, count) accumulate
     # into device scalars; host sync happens only at print points (the first
     # D2H permanently degrades dispatch latency on tunneled TPUs; CLAUDE.md).
-    @jax.jit
-    def err_step(state, batch, gm):
+    from moleculesde_tpu.finetune.common import finetune_jit
+
+    def err_impl(state, batch, gm):
         pred = eval_step(state, batch) * y_std + y_mean
         return (jnp.abs(pred - batch.y[:, 0]) * gm).sum(), gm.sum()
+
+    err_step = finetune_jit(err_impl, mesh, ("repl", "data", "data"),
+                            ("repl", "repl"))
 
     def evaluate(state, loader):
         e, c = jnp.zeros(()), jnp.zeros(())
@@ -160,6 +176,12 @@ def main(argv=None):
         return e / jnp.maximum(c, 1.0)
 
     from moleculesde_tpu.data.loader import device_prefetch
+
+    put_fn = None
+    if mesh is not None:
+        from moleculesde_tpu.parallel import shard_batch
+
+        put_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
     from moleculesde_tpu.finetune.common import make_best_tracker
 
     logger = MetricsLogger(args.output_model_dir or None)
@@ -171,7 +193,8 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
         total, nb = None, 0
-        for batch, n_real in device_prefetch(iter(train_loader), size=2):
+        for batch, n_real in device_prefetch(iter(train_loader), size=2,
+                                             put_fn=put_fn):
             gm = np.arange(batch.num_graphs) < n_real
             y_norm = (batch.y[:, 0] - y_mean) / y_std
             state, loss = train_step(state, batch, y_norm, gm, lr_dev)

@@ -94,13 +94,32 @@ def main(argv=None):
     corrector_steps = (args.corrector_steps if args.corrector_steps is not None
                        else args.steps_pos)
 
-    @jax.jit
-    def generate(batch, key):
+    def generate_impl(batch, key):
         node_2d = model_2d.apply(
             v2d, batch, deterministic=True, use_running_average=True)
         return sample_positions_pc(
             sde_model, v23, node_2d, batch, key,
             n_steps=sample_steps, corrector_steps=corrector_steps)
+
+    # conformer generation is embarrassingly data-parallel (the reference's
+    # production inference is num_repeat clones x molecules, inference 2D->3D
+    # l.29-39): shard the clone batch across the mesh, replicate the params.
+    n_dev = args.num_devices or 1
+    if n_dev > 1:
+        from moleculesde_tpu.parallel import make_mesh, replicate, sharded_jit
+
+        if (args.sample_mols_per_batch * args.num_repeat_SDE_inference) \
+                % n_dev:
+            raise SystemExit(
+                "--sample_mols_per_batch * --num_repeat_SDE_inference must "
+                f"be divisible by --num_devices={n_dev} (whole molecules "
+                "stay on one device)")
+        mesh = make_mesh(n_dev)
+        v2d = replicate(v2d, mesh)
+        v23 = replicate(v23, mesh)
+        generate = sharded_jit(generate_impl, mesh, ("data", "repl"), "data")
+    else:
+        generate = jax.jit(generate_impl)
 
     from moleculesde_tpu.core.batch import pad_graphs
 

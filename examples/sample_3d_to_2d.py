@@ -104,14 +104,29 @@ def main(argv=None):
     corrector_steps = (args.corrector_steps if args.corrector_steps is not None
                        else args.steps_pos)
 
-    @jax.jit
-    def generate(batch, key):
+    def generate_impl(batch, key):
         _, node_3d = encoder.apply(
             v3d, batch.atomic_numbers, batch.positions, batch.node_mask,
             batch.num_graphs, batch.n_max)
         return sample_graph_pc(
             sde_model, v32, node_3d, batch, key,
             n_steps=sample_steps, corrector_steps=corrector_steps)
+
+    # joint (x, adj) generation is per-molecule independent: shard the batch
+    # across the mesh, replicate both networks' params (SURVEY.md section 2).
+    n_dev = args.num_devices or 1
+    if n_dev > 1:
+        from moleculesde_tpu.parallel import make_mesh, replicate, sharded_jit
+
+        if args.batch_size % n_dev:
+            raise SystemExit(
+                f"--batch_size must be divisible by --num_devices={n_dev}")
+        mesh = make_mesh(n_dev)
+        v3d = replicate(v3d, mesh)
+        v32 = replicate(v32, mesh)
+        generate = sharded_jit(generate_impl, mesh, ("data", "repl"), "data")
+    else:
+        generate = jax.jit(generate_impl)
 
     results = []
     for batch, n_real in loader:

@@ -51,13 +51,15 @@ def create_classification_state(
 
 
 def make_classification_steps(
-    model: GNNGraphPred, tx, schedule=None
+    model: GNNGraphPred, tx, schedule=None, mesh=None
 ) -> Tuple[Callable, Callable]:
     """Returns (train_step, eval_step).  When ``schedule`` is given the
     per-step learning rate is computed *inside* the jitted step from the
     traced ``state.step`` (no host sync per batch); the explicit ``lr``
     argument is then ignored and only serves host-driven schedules
-    (ReduceLROnPlateau)."""
+    (ReduceLROnPlateau).  With ``mesh`` the steps run data-parallel: state
+    replicated, batch/graph_mask sharded on the molecule axis (the masked-BCE
+    denominator, BN batch stats and gradients all-reduce over ICI)."""
 
     def loss_fn(params, batch_stats, batch: GraphBatch, key, graph_mask):
         pred, mut = model.apply(
@@ -71,7 +73,6 @@ def make_classification_steps(
             is_valid.sum(), 1)
         return loss, (mut["batch_stats"],)
 
-    @jax.jit
     def train_step(state: FinetuneState, batch: GraphBatch, key, graph_mask, lr):
         key = jax.random.fold_in(key, state.step)  # one device program per step
         if schedule is not None:
@@ -84,10 +85,16 @@ def make_classification_steps(
             params=new_params, batch_stats=new_bs, opt_state=new_opt,
             step=state.step + 1), loss
 
-    @jax.jit
     def eval_step(state: FinetuneState, batch: GraphBatch):
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, deterministic=True, use_running_average=True)
 
-    return train_step, eval_step
+    from moleculesde_tpu.finetune.common import finetune_jit
+
+    return (
+        finetune_jit(train_step, mesh,
+                     ("repl", "data", "repl", "data", "repl"),
+                     ("repl", "repl")),
+        finetune_jit(eval_step, mesh, ("repl", "data"), "data"),
+    )

@@ -17,6 +17,19 @@ class FinetuneState(struct.PyTreeNode):
     step: jnp.ndarray
 
 
+def finetune_jit(fn, mesh, arg_kinds, out_kinds, axis_name: str = "data"):
+    """jit a finetune step: plain ``jax.jit`` when ``mesh is None``, else the
+    data-parallel ``parallel.mesh.sharded_jit`` (state replicated, batch
+    sharded on the molecule axis; gradient/loss all-reduce inserted by
+    GSPMD).  Lazy import keeps ``finetune`` free of a ``parallel`` dependency
+    on the single-device path."""
+    if mesh is None:
+        return jax.jit(fn)
+    from moleculesde_tpu.parallel.mesh import sharded_jit
+
+    return sharded_jit(fn, mesh, arg_kinds, out_kinds, axis_name=axis_name)
+
+
 def adam_with_schedule(
     lr: float,
     schedule: Optional[Callable[[int], float]] = None,

@@ -57,6 +57,7 @@ def make_md17_steps(
     energy_scale: float = 1.0,
     energy_shift: float = 0.0,
     schedule=None,
+    mesh=None,
 ) -> Tuple[Callable, Callable]:
     """Returns (train_step, eval_step).  ``energy_scale/shift`` implement the
     optional normalization (pred_E_raw = pred * scale + shift).  With
@@ -84,7 +85,6 @@ def make_md17_steps(
         f_loss = f_err.sum() / jnp.maximum(nm.sum() * 3, 1.0)
         return energy_coeff * e_loss + force_coeff * f_loss, (e_loss, f_loss)
 
-    @jax.jit
     def train_step(state: FinetuneState, batch: GraphBatch, y_e, y_f, graph_mask, lr):
         if schedule is not None:
             lr = schedule(state.step)  # traced: no host round-trip per batch
@@ -96,9 +96,15 @@ def make_md17_steps(
                              step=state.step + 1), {
             "loss": loss, "energy_mae": e_loss, "force_mae": f_loss}
 
-    @jax.jit
     def eval_step(state: FinetuneState, batch: GraphBatch):
         pred_e, pred_f = energy_and_forces(state.params, batch)
         return pred_e * energy_scale + energy_shift, pred_f * energy_scale
 
-    return train_step, eval_step
+    from moleculesde_tpu.finetune.common import finetune_jit
+
+    return (
+        finetune_jit(train_step, mesh,
+                     ("repl", "data", "data", "data", "data", "repl"),
+                     ("repl", "repl")),
+        finetune_jit(eval_step, mesh, ("repl", "data"), "data"),
+    )

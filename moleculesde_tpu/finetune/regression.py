@@ -69,7 +69,8 @@ def create_regression_state(
 
 
 def make_regression_steps(
-    model: RegressionModel, tx, loss_type: str = "mae", schedule=None
+    model: RegressionModel, tx, loss_type: str = "mae", schedule=None,
+    mesh=None,
 ) -> Tuple[Callable, Callable]:
     """Returns (train_step, eval_step).  Targets fed to train_step must be
     pre-normalized.  With ``schedule`` the per-step lr is computed inside the
@@ -86,7 +87,6 @@ def make_regression_steps(
         m = graph_mask.astype(per.dtype)
         return (per * m).sum() / jnp.maximum(m.sum(), 1.0)
 
-    @jax.jit
     def train_step(state: FinetuneState, batch: GraphBatch, y_norm, graph_mask, lr):
         if schedule is not None:
             lr = schedule(state.step)  # traced: no host round-trip per batch
@@ -97,8 +97,14 @@ def make_regression_steps(
         return state.replace(params=new_params, opt_state=new_opt,
                              step=state.step + 1), loss
 
-    @jax.jit
     def eval_step(state: FinetuneState, batch: GraphBatch):
         return model.apply({"params": state.params}, batch)
 
-    return train_step, eval_step
+    from moleculesde_tpu.finetune.common import finetune_jit
+
+    return (
+        finetune_jit(train_step, mesh,
+                     ("repl", "data", "data", "data", "repl"),
+                     ("repl", "repl")),
+        finetune_jit(eval_step, mesh, ("repl", "data"), "data"),
+    )

@@ -6,6 +6,7 @@ from moleculesde_tpu.parallel.mesh import (
     replicate,
     shard_batch,
     shard_for_process,
+    sharded_jit,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_for_process",
+    "sharded_jit",
 ]

@@ -181,6 +181,44 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def sharded_jit(
+    fn: Callable,
+    mesh: Mesh,
+    arg_kinds: Sequence[str],
+    out_kinds=None,
+    donate_argnums=(),
+    axis_name: str = "data",
+) -> Callable:
+    """jit ``fn`` with per-argument data-parallel shardings.
+
+    ``arg_kinds[i]`` is ``"data"`` (shard argument i's leading axis across
+    the mesh; applies as a pytree prefix, so a whole GraphBatch shards
+    uniformly) or ``"repl"`` (replicate).  ``out_kinds`` mirrors that for
+    outputs: a single kind string applies to the whole output tree, a
+    sequence maps over the output tuple; ``None`` lets GSPMD propagate.
+
+    This is the one primitive behind every sharded step/sampler in the
+    framework (SURVEY.md section 2: scaling is mesh + sharding annotations +
+    XLA collectives, never hand-written comms).  Cross-molecule reductions
+    inside ``fn`` (losses, BN batch stats, the corrector's global SNR norm)
+    become ICI all-reduces automatically, so numerical parity with the
+    single-device program holds to reduction-reorder tolerance.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    kinds = {"data": data, "repl": repl}
+    in_sh = tuple(kinds[k] for k in arg_kinds)
+    if out_kinds is None:
+        out_sh = None
+        return jax.jit(fn, in_shardings=in_sh, donate_argnums=donate_argnums)
+    if isinstance(out_kinds, str):
+        out_sh = kinds[out_kinds]
+    else:
+        out_sh = tuple(kinds[k] for k in out_kinds)
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh,
+                   donate_argnums=donate_argnums)
+
+
 def make_sharded_pretrain_step(
     models: Dict[str, Any], cfg: PretrainConfig, mesh: Mesh,
     axis_name: str = "data",
