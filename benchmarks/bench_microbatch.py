@@ -1,0 +1,64 @@
+"""A/B the gradient-accumulating microbatch step at large batch (VERDICT r3
+#1: throughput FELL 11.2k -> 9.5k -> 8.8k mols/s at batch 256/1024/2048).
+
+Round-4 trace analysis (benchmarks/trace_compare.py over trace_step.py runs
+at 256 vs 1024) showed same-named pair-tensor fusions running 9-17x slower
+for 4x the bytes: at batch 256 the 16 MB [B,N,N,32] tensors carry S(1)
+(VMEM alternate-memory) layouts; at 1024 (67 MB) they spill to HBM.  The
+fix is lax.scan gradient accumulation over VMEM-sized chunks inside ONE
+device program (pretrain/train_step.py::make_pretrain_step, cfg.microbatch).
+
+Usage:  python benchmarks/bench_microbatch.py [BATCH [MB ...]]
+Defaults: BATCH=1024, MB in {0, 256}.  Sync-mode timing per bench.py.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from moleculesde_tpu.data.synthetic import synthetic_compact_batch
+from moleculesde_tpu.pretrain import (
+    PretrainConfig, create_pretrain_state, make_pretrain_step)
+
+
+def main():
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    mbs = [int(x) for x in sys.argv[2:]] or [0, 256]
+    print(f"devices: {jax.devices()}", flush=True)
+    batch = jax.device_put(
+        synthetic_compact_batch(num_graphs=batch_size, n_max=32, seed=2))
+    key = jax.random.PRNGKey(0)
+    coeff = jnp.asarray(1.0)
+    results = {}
+    for mb in mbs:
+        cfg = PretrainConfig(emb_dim=300, dropout_ratio=0.0,
+                             cl_similarity_metric="EBM_node_dot_prod",
+                             microbatch=mb)
+        t0 = time.time()
+        models, state = create_pretrain_state(cfg, batch, key)
+        step = make_pretrain_step(models, cfg)
+        state, m = step(state, batch, key, coeff)
+        loss0 = float(m["loss"])  # sync-mode switch + drain
+        print(f"mb={mb}: compile {time.time() - t0:.1f}s  loss {loss0:.4f}",
+              flush=True)
+        steps = 30
+        t0 = time.time()
+        for _ in range(steps):
+            state, m = step(state, batch, key, coeff)
+        float(m["loss"])
+        dt = time.time() - t0
+        rate = batch_size * steps / dt
+        results[mb] = rate
+        print(f"mb={mb}: {1e3 * dt / steps:.1f} ms/step -> "
+              f"{rate:.0f} mols/s", flush=True)
+        del models, state, step, m
+    print({"batch": batch_size, "mols_per_sec_by_microbatch": results},
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -186,6 +186,12 @@ def get_parser() -> argparse.ArgumentParser:
                         help="compute dtype of the pretraining encoders and "
                              "score networks (params/losses/BatchNorm stay "
                              "f32); float32 disables every bf16 fast path")
+    parser.add_argument("--microbatch", type=int, default=0,
+                        help="gradient-accumulation chunk size: batches "
+                             "larger than this run as an in-program scan "
+                             "over microbatches (keeps the score models' "
+                             "pair tensors VMEM-resident; 256 is the "
+                             "measured sweet spot at n_max=32); 0 disables")
     parser.add_argument("--schnet_cfconv", type=str, default="auto",
                         choices=["auto", "xla", "pallas"],
                         help="SchNet CFConv implementation for pretraining: "

@@ -153,6 +153,7 @@ def main(argv=None):
         gnn2d_bf16=args.train_precision == "bfloat16",
         bf16_attn_3dto2d=args.train_precision == "bfloat16",
         schnet_cfconv=args.schnet_cfconv,
+        microbatch=args.microbatch,
     )
 
     key = jax.random.PRNGKey(args.seed)

@@ -95,6 +95,11 @@ class PretrainConfig:
     # "auto" = fused Pallas kernel on TPU (24.0 vs 24.4 ms/step at batch 256,
     # SchNet filter dots 4.9 -> 0 ms + fewer relayout copies), XLA elsewhere.
     schnet_cfconv: str = "auto"
+    # gradient-accumulation chunk size: batches larger than this run as a
+    # lax.scan over microbatches inside ONE device program (VMEM-residency
+    # fix for the inverted batch-scaling curve; see make_pretrain_step).
+    # 0 disables.  256 is the measured VMEM-resident size at n_max=32.
+    microbatch: int = 0
     # 3D->2D attention-map implementation (ops/attn_maps.py):
     # "auto" = the lane-exact "wide" XLA bank on TPU, standard XLA elsewhere
     attn_impl_3dto2d: str = "auto"

@@ -25,14 +25,11 @@ from moleculesde_tpu.pretrain.train_state import (
 )
 
 
-def make_pretrain_step(
-    models: Dict[str, Any], cfg: PretrainConfig, jit: bool = True
-) -> Callable[[PretrainState, GraphBatch, jax.Array, jnp.ndarray],
-              Tuple[PretrainState, Dict[str, jnp.ndarray]]]:
-    """Build the train step.  ``coeff_contrastive`` is passed at call time as
-    a traced scalar so the contrastive warm-skip (reference
-    pretrain_MoleculeSDE.py:339-344) does not trigger recompilation."""
-    tx = make_optimizer(cfg)
+def make_pretrain_loss(models: Dict[str, Any], cfg: PretrainConfig):
+    """The joint pretraining loss (contrastive + both score-matching terms).
+
+    Factored out of :func:`make_pretrain_step` so the gradient-accumulating
+    microbatch path can be verified against per-chunk calls in tests."""
 
     def loss_fn(params, batch_stats, batch: GraphBatch, key: jax.Array,
                 coeff_contrastive: jnp.ndarray):
@@ -93,6 +90,99 @@ def make_pretrain_step(
         metrics["loss"] = total
         return total, (metrics, new_batch_stats)
 
+    return loss_fn
+
+
+def split_microbatches(batch, k: int):
+    """Split a batch into ``k`` equal leading-axis chunks (a pytree whose
+    array leaves gain a leading ``k`` axis; static fields keep per-chunk
+    values).
+
+    CompactBatch carries graph-LOCAL indices and ``[B, ...]`` arrays only, so
+    the split is a pure reshape.  GraphBatch flattens nodes/edges as
+    ``b * n_max + i``, so the four edge endpoint arrays are shifted to
+    chunk-local node numbering.  Padded edges point at GLOBAL node 0 (the
+    core/batch.py collation contract), which goes negative after the shift;
+    clamping at 0 restores the same "padded edges point at row 0" invariant
+    inside every chunk (they are masked by ``edge_mask`` regardless)."""
+    from moleculesde_tpu.data.compact import CompactBatch
+
+    nb = batch.num_graphs
+    mb = nb // k
+
+    def split(x):
+        return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+    if isinstance(batch, CompactBatch):
+        return jax.tree_util.tree_map(split, batch).replace(num_graphs=mb)
+
+    chunked = jax.tree_util.tree_map(split, batch)
+    # chunk j's graphs start at global node row j * mb * n_max
+    base = (jnp.arange(k) * (mb * batch.n_max))[:, None]
+    shifted = {
+        name: jnp.maximum(
+            getattr(chunked, name) - base.astype(getattr(chunked, name).dtype),
+            0)
+        for name in ("edge_src", "edge_dst", "ext_src", "ext_dst")
+        if getattr(chunked, name) is not None
+    }
+    return chunked.replace(num_graphs=mb, **shifted)
+
+
+def make_pretrain_step(
+    models: Dict[str, Any], cfg: PretrainConfig, jit: bool = True
+) -> Callable[[PretrainState, GraphBatch, jax.Array, jnp.ndarray],
+              Tuple[PretrainState, Dict[str, jnp.ndarray]]]:
+    """Build the train step.  ``coeff_contrastive`` is passed at call time as
+    a traced scalar so the contrastive warm-skip (reference
+    pretrain_MoleculeSDE.py:339-344) does not trigger recompilation.
+
+    With ``cfg.microbatch = m`` and a batch of ``B > m`` molecules the step
+    runs as a ``lax.scan`` over ``B / m`` chunks, averaging gradients and
+    metrics and applying ONE optimizer update — the VMEM-residency fix for
+    the inverted batch-scaling curve (round-4 trace analysis, README "Batch
+    scaling"): XLA's alternate-memory pass keeps the score models' 16 MB
+    pair tensors VMEM-resident at batch 256 but spills them to HBM at 1024+,
+    where the same fusions run 9-17x slower for 4x the bytes.  Chunking
+    keeps every microbatch inside the VMEM regime.  Semantics match
+    standard gradient accumulation: BN batch stats update sequentially per
+    chunk, and each chunk draws its own fold_in(key, chunk) noise."""
+    tx = make_optimizer(cfg)
+    loss_fn = make_pretrain_loss(models, cfg)
+
+    def accumulate(state: PretrainState, batch, key, coeff_contrastive, k):
+        from moleculesde_tpu.data.compact import CompactBatch, expand_on_device
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        chunks = split_microbatches(batch, k)
+        compact = isinstance(batch, CompactBatch)
+
+        def body(carry, xs):
+            bs, grads_acc, metrics_acc = carry
+            chunk, i = xs
+            if compact:
+                chunk = expand_on_device(chunk)
+            (_, (metrics, new_bs)), grads = grad_fn(
+                state.params, bs, chunk, jax.random.fold_in(key, i),
+                coeff_contrastive)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g, grads_acc, grads)
+            metrics_acc = jax.tree_util.tree_map(
+                lambda a, m: a + m, metrics_acc, metrics)
+            return (new_bs, grads_acc, metrics_acc), None
+
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zeros_m = {name: jnp.zeros(()) for name in (
+            "CL_loss", "CL_acc", "SDE_loss_2Dto3D", "SDE_loss_3Dto2D",
+            "loss")}
+        (new_bs, grads, metrics), _ = jax.lax.scan(
+            body, (state.batch_stats, zeros_g, zeros_m),
+            (chunks, jnp.arange(k)))
+        inv = 1.0 / k
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+        return grads, metrics, new_bs
+
     def step_fn(state: PretrainState, batch, key: jax.Array,
                 coeff_contrastive: jnp.ndarray):
         # Compact ingest: the batch arrives as minimal host arrays and is
@@ -100,16 +190,22 @@ def make_pretrain_step(
         # the type dispatch is resolved at trace time.
         from moleculesde_tpu.data.compact import CompactBatch, expand_on_device
 
-        if isinstance(batch, CompactBatch):
-            batch = expand_on_device(batch)
         # derive this step's randomness inside the program: callers pass the
         # SAME base key every step, so the training loop dispatches exactly
         # one device program per step (a separate host-side random.split is a
         # tiny extra program whose dispatch latency dominates on remote TPUs)
         key = jax.random.fold_in(key, state.step)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch, key, coeff_contrastive)
+        mb = cfg.microbatch
+        if mb and batch.num_graphs > mb and batch.num_graphs % mb == 0:
+            grads, metrics, new_bs = accumulate(
+                state, batch, key, coeff_contrastive, batch.num_graphs // mb)
+        else:
+            if isinstance(batch, CompactBatch):
+                batch = expand_on_device(batch)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (metrics, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, batch, key,
+                coeff_contrastive)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
