@@ -46,23 +46,33 @@ def train_quality_models(
     seed: int = 0,
     sde_type_2dto3d: str = "VE",
     sde_type_3dto2d: str = "VE",
+    holdout: Optional[int] = None,
     log=print,
 ) -> Dict:
     """Pretrain the four components on geometric synthetic molecules; returns
     everything the generation/metric stages need (models, trained AND
-    untrained param snapshots, the molecule set and padding budgets)."""
+    untrained param snapshots, the molecule set and padding budgets).
+
+    ``holdout`` molecules (default: a quarter of the set) are EXCLUDED from
+    training and returned as ``ctx["held_graphs"]`` — the generalization
+    eval set (VERDICT r3 #3: COV/MAT on training molecules measures
+    memorization; the north star is sampled-conformer quality on UNSEEN
+    graphs)."""
     from moleculesde_tpu.data.loader import GraphLoader
     from moleculesde_tpu.data.synthetic import random_molecule
     from moleculesde_tpu.pretrain import (
         PretrainConfig, create_pretrain_state, make_pretrain_step)
 
     rng = np.random.default_rng(seed)
+    if holdout is None:
+        holdout = n_mols // 4
     graphs = [random_molecule(rng, int(rng.integers(max(n_max // 2, 4),
                                                     n_max + 1)),
                               geometric=True)
-              for _ in range(n_mols)]
+              for _ in range(n_mols + holdout)]
+    train_graphs, held_graphs = graphs[:n_mols], graphs[n_mols:]
     e_max, ext_e_max = 4 * n_max, n_max * n_max
-    loader = GraphLoader(graphs, batch_size=batch_size, n_max=n_max,
+    loader = GraphLoader(train_graphs, batch_size=batch_size, n_max=n_max,
                          e_max=e_max, ext_e_max=ext_e_max, shuffle=True,
                          drop_last=True, seed=seed)
 
@@ -95,7 +105,8 @@ def train_quality_models(
         f"3Dto2D={float(metrics['SDE_loss_3Dto2D']):.4f}")
 
     trained = (jax.device_get(state.params), jax.device_get(state.batch_stats))
-    return dict(models=models, cfg=cfg, graphs=graphs, n_max=n_max,
+    return dict(models=models, cfg=cfg, graphs=train_graphs,
+                held_graphs=held_graphs, n_max=n_max,
                 e_max=e_max, ext_e_max=ext_e_max, seed=seed,
                 trained=trained, untrained=untrained)
 
@@ -133,18 +144,22 @@ def conformer_metrics(
     num_repeat: int = 8,
     threshold: float = 0.5,
     collect_rmsds: bool = False,
+    graphs=None,
 ):
-    """COV@threshold / MAT over the first ``eval_mols`` training molecules;
-    optionally returns the per-molecule min-RMSD values (the distribution
-    behind MAT — the north-star artifact)."""
+    """COV@threshold / MAT over the first ``eval_mols`` of ``graphs``
+    (default: the training molecules; pass ``ctx["held_graphs"]`` for the
+    generalization metric); optionally returns the per-molecule min-RMSD
+    values (the distribution behind MAT — the north-star artifact)."""
     from moleculesde_tpu.sampling import repeat_graph_batch
     from moleculesde_tpu.utils.rmsd import pairwise_rmsd
 
+    if graphs is None:
+        graphs = ctx["graphs"]
     covs, mats, rmsds = [], [], []
     k = jax.random.PRNGKey(ctx["seed"] + 1)
     n_max = ctx["n_max"]
     snr_dev = jnp.asarray(snr, jnp.float32)
-    for g in ctx["graphs"][:eval_mols]:
+    for g in graphs[:eval_mols]:
         batch = repeat_graph_batch(g, num_repeat, n_max, ctx["e_max"],
                                    ctx["ext_e_max"])
         k, sub = jax.random.split(k)
@@ -169,7 +184,7 @@ def conformer_metrics(
 
 
 def graph_recovery(ctx: Dict, params, sample_steps: int = 300,
-                   eval_mols: int = 16, log=print):
+                   eval_mols: int = 16, graphs=None, log=print):
     """3D->2D joint sampling -> bond ROC-AUC + node-class accuracy."""
     from sklearn.metrics import roc_auc_score
 
@@ -178,7 +193,7 @@ def graph_recovery(ctx: Dict, params, sample_steps: int = 300,
 
     models = ctx["models"]
     n_max = ctx["n_max"]
-    eval_graphs = ctx["graphs"][:eval_mols]
+    eval_graphs = (graphs if graphs is not None else ctx["graphs"])[:eval_mols]
     eval_batch = pad_graphs(eval_graphs, n_max=n_max, e_max=ctx["e_max"],
                             ext_e_max=ctx["ext_e_max"])
     schnet = models["model_3D"]
@@ -244,15 +259,19 @@ def run_study(
     results = {}
     for name in ("untrained", "trained"):
         params, batch_stats = ctx[name]
-        cov, mat = conformer_metrics(ctx, params, batch_stats, gen,
-                                     eval_mols=eval_mols,
-                                     num_repeat=num_repeat)
-        auc, node_acc = graph_recovery(ctx, params, sample_steps=sample_steps,
-                                       eval_mols=eval_mols, log=log)
-        results[name] = {"cov@0.5": cov, "mat": mat, "adj_auc": auc,
-                         "node_acc": node_acc}
-        log(f"{name:10s} COV@0.5={cov:.3f}  MAT={mat:.3f}  "
-            f"adj AUC={auc:.3f}  node acc={node_acc:.3f}")
+        results[name] = row = {}
+        for split, graphs in (("", ctx["graphs"]),
+                              ("heldout_", ctx["held_graphs"])):
+            cov, mat = conformer_metrics(ctx, params, batch_stats, gen,
+                                         eval_mols=eval_mols,
+                                         num_repeat=num_repeat, graphs=graphs)
+            auc, node_acc = graph_recovery(
+                ctx, params, sample_steps=sample_steps, eval_mols=eval_mols,
+                graphs=graphs, log=log)
+            row.update({f"{split}cov@0.5": cov, f"{split}mat": mat,
+                        f"{split}adj_auc": auc, f"{split}node_acc": node_acc})
+            log(f"{name:10s} {split or 'train_'}  COV@0.5={cov:.3f}  "
+                f"MAT={mat:.3f}  adj AUC={auc:.3f}  node acc={node_acc:.3f}")
     return results
 
 

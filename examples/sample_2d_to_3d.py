@@ -128,7 +128,9 @@ def main(argv=None):
     mols = graphs[args.start : args.end]
     results = []
     for c0 in range(0, len(mols), k_mols):
-        chunk = mols[c0 : c0 + k_mols]
+        # list(): dataset loaders may return sequence views (PackedSubset)
+        # rather than plain lists
+        chunk = list(mols[c0 : c0 + k_mols])
         # pad the final chunk with clones of its last molecule so the jitted
         # chain keeps one static batch shape; the extras are discarded below
         padded = chunk + [chunk[-1]] * (k_mols - len(chunk))

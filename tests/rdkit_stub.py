@@ -137,6 +137,15 @@ def MolToSmiles(mol: Mol) -> str:
     return "".join(inv.get(a.GetAtomicNum(), "C") for a in mol.GetAtoms())
 
 
+def MurckoScaffoldSmiles(mol=None, smiles: Optional[str] = None,
+                         includeChirality: bool = False) -> str:
+    """Toy Bemis-Murcko stand-in for splitters.generate_scaffold: the sorted
+    element multiset, so chains sharing a composition share a scaffold group
+    (CCO and OCC -> 'CCO').  Control flow, not chemistry, is the point."""
+    s = smiles if smiles is not None else MolToSmiles(mol)
+    return "".join(sorted(s))
+
+
 def install():
     """Register the stub as ``rdkit`` / ``rdkit.Chem`` in sys.modules (no-op
     if real RDKit is importable).  Returns True if the stub was installed."""
@@ -150,15 +159,23 @@ def install():
     chem.SDMolSupplier = SDMolSupplier
     chem.MolFromSmiles = MolFromSmiles
     chem.MolToSmiles = MolToSmiles
+    murcko = types.ModuleType("rdkit.Chem.Scaffolds.MurckoScaffold")
+    murcko.MurckoScaffoldSmiles = MurckoScaffoldSmiles
+    scaffolds = types.ModuleType("rdkit.Chem.Scaffolds")
+    scaffolds.MurckoScaffold = murcko
+    chem.Scaffolds = scaffolds
     root = types.ModuleType("rdkit")
     root.Chem = chem
     sys.modules["rdkit"] = root
     sys.modules["rdkit.Chem"] = chem
+    sys.modules["rdkit.Chem.Scaffolds"] = scaffolds
+    sys.modules["rdkit.Chem.Scaffolds.MurckoScaffold"] = murcko
     return True
 
 
 def uninstall():
-    for name in ("rdkit", "rdkit.Chem"):
+    for name in ("rdkit", "rdkit.Chem", "rdkit.Chem.Scaffolds",
+                 "rdkit.Chem.Scaffolds.MurckoScaffold"):
         if name in sys.modules and isinstance(sys.modules[name], types.ModuleType) \
                 and getattr(sys.modules[name], "__file__", None) is None:
             del sys.modules[name]

@@ -33,3 +33,7 @@ def test_overfit_improves_conformers_and_graphs():
     # graph recovery: clearly above the untrained model's chance AUC
     assert tr["adj_auc"] > 0.53, res
     assert tr["adj_auc"] > un["adj_auc"] + 0.03, res
+    # generalization (VERDICT r3 #3): molecules NEVER seen in training must
+    # also improve — memorization alone cannot move these
+    assert tr["heldout_mat"] < 0.7 * un["heldout_mat"], res
+    assert tr["heldout_adj_auc"] > un["heldout_adj_auc"] + 0.02, res
