@@ -34,6 +34,12 @@ BATCH = int(os.environ.get("BENCH_BATCH", 256))
 N_MAX = int(os.environ.get("BENCH_NMAX", 32))
 EMB = int(os.environ.get("BENCH_EMB", 300))
 STEPS = int(os.environ.get("BENCH_STEPS", 100))
+# Gradient-accumulation chunk (pretrain/train_step.py): keeps the score
+# models' [mb, N, N, C] pair tensors VMEM-resident at any global batch.
+# Swept on v5e-1 (benchmarks/bench_microbatch.py): mb=128 wins at every
+# B in {256, 1024, 2048} — 12.4k/13.3k/13.5k mols/s vs 11.2k/9.3k/8.8k
+# unchunked (the r3 "inverted batch-scaling curve", VERDICT r3 #1).
+MICROBATCH = int(os.environ.get("BENCH_MB", 128))
 # measured once then cached in benchmarks/baseline_cpu.json (single-core host)
 TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", 10))
 
@@ -73,7 +79,8 @@ def measure_jax() -> dict:
     log(f"jax devices: {jax.devices()}")
     cfg = PretrainConfig(
         emb_dim=EMB, dropout_ratio=0.0,
-        cl_similarity_metric="EBM_node_dot_prod")
+        cl_similarity_metric="EBM_node_dot_prod",
+        microbatch=MICROBATCH)
     # the production ingest form (examples/pretrain.py): minimal compact host
     # arrays, featurization + 4-hop extension on device inside the step — the
     # host-extended GraphBatch form pays a serialized [B, N, N] scatter
@@ -96,6 +103,13 @@ def measure_jax() -> dict:
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0))
+        # cost_analysis counts a lax.scan body ONCE; the microbatched step
+        # scans B/mb accumulation chunks.  Scaling by the trip count keeps
+        # it an upper bound (it overcounts only the optimizer update, which
+        # sits outside the scan and is <1% of step FLOPs).  The analytic
+        # count (utils/flops.py) multiplies scan bodies by length already.
+        if MICROBATCH and BATCH > MICROBATCH and BATCH % MICROBATCH == 0:
+            flops_per_step *= BATCH // MICROBATCH
     except Exception as e:  # pragma: no cover - cost model availability
         log(f"cost_analysis unavailable: {e}")
 
@@ -195,30 +209,43 @@ def measure_jax() -> dict:
     sde_model = models["SDE_2Dto3D_model"].clone(score_dtype="bfloat16")
     v23 = {"params": state.params["SDE_2Dto3D_model"],
            "batch_stats": state.batch_stats["SDE_2Dto3D_model"]}
-    sample_batch = synthetic_batch(num_graphs=64, n_max=N_MAX, seed=1)
-    sample_batch = jax.device_put(sample_batch)
-    node_2d = jnp.zeros((sample_batch.num_nodes, EMB))
     n_sampler_steps = 200
+    # B-scaling (VERDICT r3 #7): the production question is conformers/sec
+    # at the reference workload (num_repeat clones x molecules, inference
+    # 2D->3D l.29-39) — each 200-step chain yields B conformers.
+    sampler_sps = 0.0
+    sampler_cps = {}
+    for b_s, n_rounds in ((64, 5), (256, 2), (1024, 1)):
+        sample_batch = synthetic_batch(num_graphs=b_s, n_max=N_MAX, seed=1)
+        sample_batch = jax.device_put(sample_batch)
+        node_2d = jnp.zeros((sample_batch.num_nodes, EMB))
+        f = jax.jit(lambda v, r, k, sb=sample_batch: sample_positions_pc(
+            sde_model, v, r, sb, k, n_steps=n_sampler_steps))
+        pos = f(v23, node_2d, key)
+        float(pos[0, 0])  # drain compile + warmup
+        # Same timing recipe as the pretrain metric: several synchronous
+        # program invocations inside ONE window closed by a single scalar
+        # read, so the fixed per-window tunnel cost (closing D2H round-trip,
+        # ~30 ms) is amortized instead of being charged to a single chain.
+        # Each dispatch still blocks until the device finishes (sync regime),
+        # so the window is honest wall-clock for n_rounds full chains.
+        t0 = time.time()
+        for i in range(n_rounds):
+            pos = f(v23, node_2d, jax.random.PRNGKey(7 + i))
+        float(pos[0, 0])  # close the window with a device read
+        dt = time.time() - t0
+        sampler_cps[b_s] = b_s * n_rounds / dt
+        if b_s == 64:
+            sampler_sps = n_rounds * n_sampler_steps / dt
+        log(f"sampler B={b_s}: {n_rounds * n_sampler_steps / dt:.1f} PC "
+            f"steps/s, {sampler_cps[b_s]:.1f} conformers/s "
+            f"({n_rounds}x{n_sampler_steps}-step chains)")
+        del sample_batch, f, pos
 
-    f = jax.jit(lambda v, r, k: sample_positions_pc(
-        sde_model, v, r, sample_batch, k, n_steps=n_sampler_steps))
-    pos = f(v23, node_2d, key)
-    float(pos[0, 0])  # drain compile + warmup
-    # Same timing recipe as the pretrain metric: several synchronous program
-    # invocations inside ONE window closed by a single scalar read, so the
-    # fixed per-window tunnel cost (closing D2H round-trip, ~30 ms) is
-    # amortized instead of being charged to a single 200-step chain.  Each
-    # dispatch still blocks until the device finishes (sync regime), so the
-    # window is honest wall-clock for n_rounds full chains.
-    n_rounds = 5
-    t0 = time.time()
-    for i in range(n_rounds):
-        pos = f(v23, node_2d, jax.random.PRNGKey(7 + i))
-    float(pos[0, 0])  # close the window with a device read
-    sampler_sps = n_rounds * n_sampler_steps / (time.time() - t0)
-    log(f"sampler: {sampler_sps:.1f} PC steps/sec (batch of 64 molecules, "
-        f"{n_rounds}x{n_sampler_steps}-step chains)")
+    painn_mps = measure_painn(cfg, key)
     return {"mols_per_sec": mols_per_sec,
+            "sampler_conformers_per_sec": sampler_cps,
+            "painn_mols_per_sec": painn_mps,
             "sustained": sustained,
             "sampler_steps_per_sec": sampler_sps,
             "batch_1024_mols_per_sec": big_mols_per_sec,
@@ -229,6 +256,37 @@ def measure_jax() -> dict:
             "tflops_analytic": tflops_analytic,
             "mfu": mfu,
             "mfu_analytic": mfu_analytic}
+
+
+def measure_painn(cfg, key) -> float:
+    """One PaiNN-encoder pretrain-step point (VERDICT r3 #7: SchNet was the
+    only flagship anywhere in BENCH)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from moleculesde_tpu.data.synthetic import synthetic_compact_batch
+    from moleculesde_tpu.pretrain import create_pretrain_state, make_pretrain_step
+
+    cfg_p = dataclasses.replace(cfg, model_3d="PaiNN")
+    batch = jax.device_put(
+        synthetic_compact_batch(num_graphs=BATCH, n_max=N_MAX, seed=3))
+    coeff = jnp.asarray(1.0)
+    t0 = time.time()
+    models, state = create_pretrain_state(cfg_p, batch, key)
+    step = make_pretrain_step(models, cfg_p)
+    state, m = step(state, batch, key, coeff)
+    float(m["loss"])
+    log(f"painn: compile {time.time() - t0:.1f}s")
+    steps = max(STEPS // 4, 10)
+    t0 = time.time()
+    for _ in range(steps):
+        state, m = step(state, batch, key, coeff)
+    float(m["loss"])
+    rate = BATCH * steps / (time.time() - t0)
+    log(f"painn pretrain: {rate:.1f} molecules/sec/chip (batch {BATCH})")
+    return rate
 
 
 def measure_sustained(cfg, key) -> dict:
@@ -379,6 +437,7 @@ def main():
         # TPU), cross-checked against profiler device traces.  Rounds 1-2
         # recorded enqueue rates ~12x higher; those were not compute rates.
         "measurement": "sync-dispatch + trailing D2H; device-trace verified",
+        "microbatch": MICROBATCH,
         "batch_1024_mols_per_sec": round(res["batch_1024_mols_per_sec"], 2),
         "batch_1024_tflops": round(res["batch_1024_tflops"], 3),
         "sustained_mols_per_sec": round(
@@ -386,9 +445,17 @@ def main():
         "sustained_batch": res["sustained"]["sustained_batch"],
         "sustained_breakdown_batches_per_sec": {
             k: round(res["sustained"][k], 2)
-            for k in ("collate_batches_per_sec", "h2d_batches_per_sec",
+            for k in ("collate_batches_per_sec",
+                      "h2d_pipelined_batches_per_sec",
+                      "h2d_serial_batches_per_sec",
                       "device_step_batches_per_sec")},
+        "h2d_bytes_per_batch": res["sustained"]["h2d_bytes_per_batch"],
+        "h2d_gb_per_sec": round(res["sustained"]["h2d_gb_per_sec"], 3),
         "sampler_pc_steps_per_sec": round(res["sampler_steps_per_sec"], 2),
+        "sampler_conformers_per_sec": {
+            str(k): round(v, 2)
+            for k, v in res["sampler_conformers_per_sec"].items()},
+        "painn_mols_per_sec": round(res["painn_mols_per_sec"], 2),
         "flops_per_step": res["flops_per_step"],
         "flops_analytic": res["flops_analytic"],
         "tflops": round(res["tflops"], 3),

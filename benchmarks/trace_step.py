@@ -27,8 +27,9 @@ def main():
     cfg = PretrainConfig(emb_dim=300, dropout_ratio=0.0,
                          cl_similarity_metric="EBM_node_dot_prod",
                          attn_impl_3dto2d=os.environ.get("TRACE_ATTN", "auto"),
-                         schnet_cfconv=os.environ.get("TRACE_CFCONV", "xla"),
-                         gnn2d_msg=os.environ.get("TRACE_GINMSG", "xla"))
+                         schnet_cfconv=os.environ.get("TRACE_CFCONV", "auto"),
+                         gnn2d_msg=os.environ.get("TRACE_GINMSG", "auto"),
+                         microbatch=int(os.environ.get("TRACE_MB", 0)))
     # production compact-ingest path (same as bench.py headline);
     # TRACE_INGEST=graph traces the host-extended GraphBatch form instead
     if os.environ.get("TRACE_INGEST", "compact") == "compact":
