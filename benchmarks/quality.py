@@ -246,6 +246,8 @@ def run_study(
     eval_mols: int = 16,
     num_repeat: int = 8,
     sample_steps: int = 300,
+    corrector_steps: int = 1,
+    snr: float = 0.2,
     seed: int = 0,
     sde_type_2dto3d: str = "VE",
     sde_type_3dto2d: str = "VE",
@@ -255,7 +257,7 @@ def run_study(
         n_mols=n_mols, n_max=n_max, emb_dim=emb_dim, steps=steps,
         batch_size=batch_size, seed=seed, sde_type_2dto3d=sde_type_2dto3d,
         sde_type_3dto2d=sde_type_3dto2d, log=log)
-    gen = make_gen_positions(ctx, sample_steps)
+    gen = make_gen_positions(ctx, sample_steps, corrector_steps)
     results = {}
     for name in ("untrained", "trained"):
         params, batch_stats = ctx[name]
@@ -263,7 +265,7 @@ def run_study(
         for split, graphs in (("", ctx["graphs"]),
                               ("heldout_", ctx["held_graphs"])):
             cov, mat = conformer_metrics(ctx, params, batch_stats, gen,
-                                         eval_mols=eval_mols,
+                                         snr=snr, eval_mols=eval_mols,
                                          num_repeat=num_repeat, graphs=graphs)
             auc, node_acc = graph_recovery(
                 ctx, params, sample_steps=sample_steps, eval_mols=eval_mols,
@@ -285,6 +287,8 @@ def main():
         eval_mols=int(os.environ.get("QUALITY_EVAL_MOLS", 16)),
         num_repeat=int(os.environ.get("QUALITY_REPEAT", 8)),
         sample_steps=int(os.environ.get("QUALITY_SAMPLE_STEPS", 300)),
+        corrector_steps=int(os.environ.get("QUALITY_CORRECTOR", 1)),
+        snr=float(os.environ.get("QUALITY_SNR", 0.2)),
         sde_type_2dto3d=os.environ.get("QUALITY_SDE_2DTO3D", "VE"),
         sde_type_3dto2d=os.environ.get("QUALITY_SDE_3DTO2D", "VE"),
     )

@@ -167,6 +167,11 @@ def main(argv=None):
             replicate, shard_batch)
 
         mesh = make_mesh(n_devices)
+        if cfg.microbatch and cfg.microbatch % mesh.size:
+            raise SystemExit(
+                f"--microbatch={cfg.microbatch} must be a multiple of the "
+                f"mesh size ({mesh.size}) so every accumulation chunk "
+                f"spreads over all devices")
         state = replicate(state, mesh)
         step = make_sharded_pretrain_step(models, cfg, mesh)
         if n_proc > 1:

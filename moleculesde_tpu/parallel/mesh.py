@@ -227,8 +227,16 @@ def make_sharded_pretrain_step(
 
     Under GSPMD the per-device gradients are all-reduced over ICI
     automatically; the returned state stays replicated.
+
+    ``cfg.microbatch`` composes: the accumulation scan uses the shard-aligned
+    chunk layout (split_microbatches(..., shards=mesh.size)) so each chunk
+    takes every device's j-th local block — the scan axis stays unsharded
+    and no device idles (a contiguous split would put whole chunks on a
+    subset of the mesh).
     """
-    step_fn = make_pretrain_step(models, cfg, jit=False)
+    step_fn = make_pretrain_step(
+        models, cfg, jit=False,
+        shards=mesh.size if cfg.microbatch else 1)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
 

@@ -93,7 +93,7 @@ def make_pretrain_loss(models: Dict[str, Any], cfg: PretrainConfig):
     return loss_fn
 
 
-def split_microbatches(batch, k: int):
+def split_microbatches(batch, k: int, shards: int = 1):
     """Split a batch into ``k`` equal leading-axis chunks (a pytree whose
     array leaves gain a leading ``k`` axis; static fields keep per-chunk
     values).
@@ -104,33 +104,61 @@ def split_microbatches(batch, k: int):
     chunk-local node numbering.  Padded edges point at GLOBAL node 0 (the
     core/batch.py collation contract), which goes negative after the shift;
     clamping at 0 restores the same "padded edges point at row 0" invariant
-    inside every chunk (they are masked by ``edge_mask`` regardless)."""
+    inside every chunk (they are masked by ``edge_mask`` regardless).
+
+    ``shards`` makes the split data-parallel-friendly: with the batch's
+    leading axis sharded over ``shards`` mesh devices, chunk ``j`` takes each
+    device's ``j``-th local block (reshape keeps the device axis OUTERMOST,
+    so the scan axis ends up unsharded and every device contributes
+    ``mb/shards`` molecules to every chunk).  A contiguous split would shard
+    the scan axis instead — each scan iteration would then run on a fraction
+    of the mesh while the rest idles.  ``shards=1`` is the single-device
+    contiguous split."""
     from moleculesde_tpu.data.compact import CompactBatch
 
     nb = batch.num_graphs
     mb = nb // k
+    if mb % shards:
+        raise ValueError(
+            f"microbatch {mb} not divisible by mesh size {shards}")
+    mp = mb // shards  # graphs per (chunk, device) block
 
     def split(x):
-        return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+        if shards == 1:
+            return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+        per = x.shape[0] // nb  # rows per graph (1, n_max, e_max, ...)
+        y = x.reshape((shards, k, mp * per) + x.shape[1:])
+        return jnp.swapaxes(y, 0, 1).reshape((k, mb * per) + x.shape[1:])
 
     if isinstance(batch, CompactBatch):
         return jax.tree_util.tree_map(split, batch).replace(num_graphs=mb)
 
+    # node-row base of (chunk j, device d)'s first graph MINUS its chunk-local
+    # row: graph i of that block is global d*(nb/shards) + j*mp + i at
+    # chunk-local d*mp + i.  shards=1 reduces to the contiguous j*mb shift.
+    base = ((jnp.arange(k)[:, None] * mp
+             + jnp.arange(shards)[None, :] * (nb // shards - mp))
+            * batch.n_max)                                # [k, shards]
+
+    def split_shift(x):
+        per = x.shape[0] // nb
+        y = x.reshape(shards, k, mp * per)
+        y = jnp.swapaxes(y, 0, 1)                         # [k, shards, ...]
+        y = jnp.maximum(y - base[:, :, None].astype(x.dtype), 0)
+        return y.reshape(k, mb * per)
+
     chunked = jax.tree_util.tree_map(split, batch)
-    # chunk j's graphs start at global node row j * mb * n_max
-    base = (jnp.arange(k) * (mb * batch.n_max))[:, None]
     shifted = {
-        name: jnp.maximum(
-            getattr(chunked, name) - base.astype(getattr(chunked, name).dtype),
-            0)
+        name: split_shift(getattr(batch, name))
         for name in ("edge_src", "edge_dst", "ext_src", "ext_dst")
-        if getattr(chunked, name) is not None
+        if getattr(batch, name) is not None
     }
     return chunked.replace(num_graphs=mb, **shifted)
 
 
 def make_pretrain_step(
-    models: Dict[str, Any], cfg: PretrainConfig, jit: bool = True
+    models: Dict[str, Any], cfg: PretrainConfig, jit: bool = True,
+    shards: int = 1,
 ) -> Callable[[PretrainState, GraphBatch, jax.Array, jnp.ndarray],
               Tuple[PretrainState, Dict[str, jnp.ndarray]]]:
     """Build the train step.  ``coeff_contrastive`` is passed at call time as
@@ -146,7 +174,12 @@ def make_pretrain_step(
     where the same fusions run 9-17x slower for 4x the bytes.  Chunking
     keeps every microbatch inside the VMEM regime.  Semantics match
     standard gradient accumulation: BN batch stats update sequentially per
-    chunk, and each chunk draws its own fold_in(key, chunk) noise."""
+    chunk, and each chunk draws its own fold_in(key, chunk) noise.
+
+    ``shards`` (the mesh size when the step runs data-parallel, see
+    make_sharded_pretrain_step) selects the shard-aligned chunk layout of
+    :func:`split_microbatches` so the accumulation scan stays unsharded and
+    every device contributes to every chunk."""
     tx = make_optimizer(cfg)
     loss_fn = make_pretrain_loss(models, cfg)
 
@@ -154,7 +187,7 @@ def make_pretrain_step(
         from moleculesde_tpu.data.compact import CompactBatch, expand_on_device
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        chunks = split_microbatches(batch, k)
+        chunks = split_microbatches(batch, k, shards)
         compact = isinstance(batch, CompactBatch)
 
         def body(carry, xs):
