@@ -655,7 +655,16 @@ class SDEModel2Dto3D(nn.Module):
         node_attr = self.node_emb(h2d)
         if layout == "channel" and not cm_direct:
             # [B, N, N, H] -> [B, H, N*N]: pair tensors with the big axis
-            # minor are lane-padding-free on TPU (score_from_cond_cm)
+            # minor are lane-padding-free on TPU (score_from_cond_cm).
+            # Cast to the score compute dtype BEFORE the physical transpose:
+            # the pair kernel emits f32, and an uncast f32 slab here (a) pays
+            # 2x bytes on this relayout copy and (b) promotes every
+            # downstream add/mask-mul of the cm loss path back to f32
+            # (score_from_cond_cm consumes it in ``cdt`` regardless) — the
+            # r4 HLO inventory billed ~34 MB/chunk of f32 copies to this
+            # boundary and the line-793 mask multiply.
+            if self.score_dtype == "bfloat16":
+                edge_attr_2d = edge_attr_2d.astype(jnp.bfloat16)
             edge_attr_2d = edge_attr_2d.reshape(b, n * n, -1).transpose(0, 2, 1)
         return {"edge_attr_2d": edge_attr_2d, "node_attr": node_attr,
                 "pair_mask": pair_mask}

@@ -158,9 +158,17 @@ class StackedEdgeLayers(nn.Module):
             q, k = qk2[..., :a2], qk2[..., a2:]
             a = attn_map_bank(q, k, ds, bf16=(dt == jnp.bfloat16),
                               impl=self.attn_impl)
+        # symmetrize in the compute dtype: the pair-transpose is a physical
+        # relayout copy, and the maps' only consumer (EdgeNetworkDense's
+        # channel-major pair MLP) casts to ``dt`` anyway — keeping the bank
+        # output f32 here doubled the copy + concat bytes (r4 HLO inventory:
+        # ~20 MB/chunk at this line)
+        a = a.astype(dt)
         a = (a + jnp.swapaxes(a, -1, -2)) / 2.0
 
-        # dense-GCN V per channel: D^-1/2 (A_c + I) D^-1/2 X W_c + b_c
+        # dense-GCN V per channel: D^-1/2 (A_c + I) D^-1/2 X W_c + b_c.
+        # Degree math stays f32 (rsqrt of sums); the value dots and the
+        # aggregation run in ``dt`` like the q/k bank.
         n = adjc.shape[-1]
         v_in = qk_in if self.node_3d_dim else x
         wv = stacked("v_kernel", (c_dim, v_in.shape[-1], self.out_dim))
@@ -169,8 +177,9 @@ class StackedEdgeLayers(nn.Module):
         adj_loop = adjc * (1 - eye) + eye
         deg_inv_sqrt = jnp.clip(adj_loop.sum(-1), 1.0, None) ** -0.5
         norm_adj = deg_inv_sqrt[..., :, None] * adj_loop * deg_inv_sqrt[..., None, :]
-        hv = jnp.einsum("bnf,cfo->bcno", v_in, wv)
-        v = jnp.einsum("bcij,bcjo->bcio", norm_adj, hv) + bv[None, :, None]
+        hv = jnp.einsum("bnf,cfo->bcno", v_in.astype(dt), wv.astype(dt))
+        v = (jnp.einsum("bcij,bcjo->bcio", norm_adj.astype(dt), hv)
+             + bv.astype(dt)[None, :, None])
         return v, a
 
 
@@ -204,16 +213,21 @@ class EdgeNetworkDense(nn.Module):
         x_out = jnp.tanh(mask_x(x_out, flags))
 
         # channel-major pair MLP: [B, 2C, N*N] keeps the big axis minor
-        # (feature-minor [B, N, N, 2C] lane-pads C=4..16 up to 32x; r3 trace)
+        # (feature-minor [B, N, N, 2C] lane-pads C=4..16 up to 32x; r3 trace).
+        # The concat and the output symmetrize (a pair-transpose relayout
+        # copy) run in the MLP's compute dtype; the evolving adjacency
+        # stream converts back to f32 only at the very end (fused into
+        # mask_adjs) — the f32-first order paid 2x bytes on both copies.
         b_, c_in, n_, _ = adjc.shape
-        mlp_in = jnp.concatenate([attn_maps, adjc], axis=1
+        adjc_c = adjc.astype(self.dtype) if self.dtype else adjc
+        mlp_in = jnp.concatenate([attn_maps, adjc_c], axis=1
                                  ).reshape(b_, 2 * c_in, n_ * n_)
         dims = [hidden_dim] * (self.num_linears - 1) + [self.output_dim]
         adj_out = MLP(dims, activation="elu", dtype=self.dtype, name="mlp",
                       channel_major=True)(mlp_in)
-        adj_out = adj_out.astype(jnp.float32).reshape(
-            b_, self.output_dim, n_, n_)
-        adj_out = adj_out + jnp.swapaxes(adj_out, -1, -2)
+        adj_out = adj_out.reshape(b_, self.output_dim, n_, n_)
+        adj_out = (adj_out + jnp.swapaxes(adj_out, -1, -2)
+                   ).astype(jnp.float32)
         adj_out = mask_adjs(adj_out, flags)
         return x_out, adj_out
 
