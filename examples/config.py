@@ -190,10 +190,15 @@ def get_parser() -> argparse.ArgumentParser:
                         help="gradient-accumulation chunk size: batches "
                              "larger than this run as an in-program scan "
                              "over microbatches (keeps the score models' "
-                             "pair tensors VMEM-resident; 256 is the "
+                             "pair tensors VMEM-resident; 128 is the "
                              "measured sweet spot at n_max=32); 0 disables")
+    parser.add_argument("--microbatch_unroll", type=int, default=1,
+                        help="unroll the gradient-accumulation scan when the "
+                             "chunk count batch/microbatch is at most this "
+                             "(straight-line chunks let XLA overlap chunk "
+                             "boundaries); 1 never unrolls")
     parser.add_argument("--schnet_cfconv", type=str, default="auto",
-                        choices=["auto", "xla", "pallas"],
+                        choices=["auto", "xla", "pallas", "pallas_rbf"],
                         help="SchNet CFConv implementation for pretraining: "
                              "'auto' = fused Pallas kernel on TPU "
                              "(ops/cfconv.py), XLA elsewhere")

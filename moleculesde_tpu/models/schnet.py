@@ -83,9 +83,9 @@ class SchNetInteraction(nn.Module):
     cfconv: str = "xla"
 
     @nn.compact
-    def __call__(self, h, edge_attr, cos_env, pair_mask):
+    def __call__(self, h, edge_attr, cos_env, pair_mask, dist=None):
         from moleculesde_tpu.models.layers import DenseParams
-        from moleculesde_tpu.ops.cfconv import fused_cfconv
+        from moleculesde_tpu.ops.cfconv import fused_cfconv, fused_cfconv_rbf
 
         def dense(feat, name, use_bias=True):
             return nn.Dense(feat, kernel_init=xavier_uniform,
@@ -94,7 +94,7 @@ class SchNetInteraction(nn.Module):
 
         # filter-net params declared raw so both impls share one tree
         # (names/shapes identical to the former auto-named nn.Dense stack)
-        w1, b1 = DenseParams(self.num_filters, edge_attr.shape[-1],
+        w1, b1 = DenseParams(self.num_filters, self.num_gaussians,
                              name="Dense_0")()
         w2, b2 = DenseParams(self.num_filters, self.num_filters,
                              name="Dense_1")()
@@ -102,9 +102,26 @@ class SchNetInteraction(nn.Module):
         envm = cos_env * pair_mask.astype(cos_env.dtype)
 
         if self.cfconv != "xla":
-            x = fused_cfconv(edge_attr, envm, x, w1, b1, w2, b2,
-                             bf16=(self.dtype == jnp.bfloat16),
-                             impl=self.cfconv)
+            if dist is not None:
+                # RBF-fused form: smearing synthesized in VMEM from the raw
+                # distances — no [B, N, N, G] slab in HBM at all.  Measured
+                # and REJECTED as the default (r4, v5e, B=256 mb=128): 21.38
+                # vs 20.31-20.44 ms/step — the slab's HBM reads were already
+                # async-overlapped with compute, so deleting them bought
+                # nothing while the in-VMEM exp landed on the critical path
+                # of BOTH passes.  Kept as a validated opt-in
+                # (cfconv="pallas_rbf") for shapes where the slab stops
+                # fitting the prefetch window (N >> 32).
+                x = fused_cfconv_rbf(
+                    dist, envm, x, w1, b1, w2, b2,
+                    start=0.0, stop=self.cutoff,
+                    num_gaussians=self.num_gaussians,
+                    bf16=(self.dtype == jnp.bfloat16),
+                    impl=self.cfconv.replace("_rbf", ""))
+            else:
+                x = fused_cfconv(edge_attr, envm, x, w1, b1, w2, b2,
+                                 bf16=(self.dtype == jnp.bfloat16),
+                                 impl=self.cfconv)
         else:
             dt = self.dtype or h.dtype
             # filter net over the smeared distances [B,N,N,G] -> [B,N,N,Fil]
@@ -169,7 +186,13 @@ class SchNet(nn.Module):
         pos3 = pos.reshape(num_graphs, n_max, 3)
         dist = pairwise_distances(pos3)
         pair_mask = radius_pair_mask(dist, node_mask, self.cutoff)
-        edge_attr = gaussian_smearing(dist, 0.0, self.cutoff, self.num_gaussians)
+        # the opt-in RBF-fused kernel synthesizes the smeared slab in VMEM
+        # from the raw distances (ops/cfconv.py::fused_cfconv_rbf — measured
+        # slower as a default, see SchNetInteraction) — skip building the
+        # [B, N, N, G] tensor in HBM only there
+        rbf_path = "_rbf" in self.cfconv
+        edge_attr = None if rbf_path else gaussian_smearing(
+            dist, 0.0, self.cutoff, self.num_gaussians)
         cos_env = 0.5 * (jnp.cos(dist * math.pi / self.cutoff) + 1.0)
 
         h = h.reshape(num_graphs, n_max, self.hidden_channels)
@@ -178,7 +201,8 @@ class SchNet(nn.Module):
             h = h + SchNetInteraction(
                 self.hidden_channels, self.num_filters, self.num_gaussians,
                 self.cutoff, dtype=dt, agg=self.agg, cfconv=self.cfconv
-            )(h, edge_attr, cos_env, pair_mask)
+            )(h, edge_attr, cos_env, pair_mask,
+              dist=dist if rbf_path else None)
 
         h = nn.Dense(self.hidden_channels, kernel_init=xavier_uniform, bias_init=zeros_init)(h)
         h = shifted_softplus(h)

@@ -63,12 +63,48 @@ def _cfconv_xla(ea, env, x, w1, b1, w2, b2):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref):
-    """Shared fwd recompute: returns (pre f32 [X, F], w4 [TB, N, N, F])."""
-    tb, n, _, g = ea_ref.shape
+def _smear(dist_ref, start: float, stop: float, g: int, dt):
+    """Gaussian smearing IN VMEM: [TB, N, N] distances -> [TB*N*N, G].
+
+    The smearing grid is static (ops/fourier.py::gaussian_smearing), so the
+    offsets are compile-time constants — no extra operands.  Building ``ea``
+    here instead of reading it from HBM drops the kernel's input traffic
+    from the 2.5x-lane-padded [B, N, N, 51] slab (33.5 MB bf16 at mb=128)
+    to the raw [B, N, N] distances (4 MB) on BOTH the fwd and bwd passes —
+    the r4 trace put the six interactions' kernel calls at 3.7 ms/step,
+    at the padded slab's HBM roofline.  Pair-scalar -> feature broadcast via
+    ``[..., None]`` (the Mosaic-safe pattern); the 4-D -> 2-D reshape is a
+    leading-dim merge."""
+    tb, n, _ = dist_ref.shape
+    step = (stop - start) / (g - 1)
+    # offsets as a lane-indexed iota (Mosaic-safe; 1-D constants get
+    # replicated-lane layouts)
+    # iota must be integer-typed in Mosaic; convert after
+    offset = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, g), 3)
+              .astype(jnp.float32) * step + start)
+    coeff = -0.5 / float(step) ** 2
+    d4 = dist_ref[...][..., None]                     # [TB, N, N, 1]
+    diff = d4 - offset
+    ea4 = jnp.exp(coeff * diff * diff)
+    return ea4.astype(dt).reshape(tb * n * n, g)
+
+
+def _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+              smear=None):
+    """Shared fwd recompute: returns (pre f32 [X, F], w4 [TB, N, N, F]).
+
+    ``ea_ref`` holds the smeared distances [TB, N, N, G] — or, when
+    ``smear=(start, stop, g, dt)`` is given, the RAW distances [TB, N, N]
+    expanded in VMEM by :func:`_smear`."""
+    if smear is not None:
+        tb, n, _ = ea_ref.shape
+        start, stop, g, dt = smear
+        ea = _smear(ea_ref, start, stop, g, dt)
+    else:
+        tb, n, _, g = ea_ref.shape
+        dt = ea_ref.dtype
+        ea = ea_ref[...].reshape(tb * n * n, g)
     f = w1_ref.shape[1]
-    dt = ea_ref.dtype
-    ea = ea_ref[...].reshape(tb * n * n, g)
     pre = jax.lax.dot_general(
         ea, w1_ref[...].astype(dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b1_ref[...]
@@ -78,23 +114,25 @@ def _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref):
         s.astype(dt), w2_ref[...].astype(dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[...]
     w4 = w.reshape(tb, n, n, f) * env_ref[...][..., None]
-    return pre, w4
+    return pre, w4, ea
 
 
 def _fwd_kernel(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref):
-    _, w4 = _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+                o_ref, smear=None):
+    _, w4, _ = _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                         b2_ref, smear)
     x = x_ref[...].astype(jnp.float32)            # [TB, N, F]
     o_ref[...] = jnp.sum(w4 * x[:, None, :, :], axis=2)
 
 
 def _bwd_kernel(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                g_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
-    tb, n, _, _ = ea_ref.shape
+                g_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                smear=None):
+    tb, n, _ = env_ref.shape
     f = w1_ref.shape[1]
-    dt = ea_ref.dtype
-    pre, w4 = _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref,
-                        b2_ref)
+    dt = smear[3] if smear is not None else ea_ref.dtype
+    pre, w4, ea = _fwd_body(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                            b2_ref, smear)
     gout = g_ref[...].astype(jnp.float32)         # [TB, N, F]
     x = x_ref[...].astype(jnp.float32)
 
@@ -117,7 +155,6 @@ def _bwd_kernel(ea_ref, env_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         preferred_element_type=jnp.float32)
     dpre = ds * jax.nn.sigmoid(pre)
     dprel = dpre.astype(dt)
-    ea = ea_ref[...].reshape(tb * n * n, -1)
     dw1 = jax.lax.dot_general(
         ea, dprel, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -145,10 +182,12 @@ def _pick_tb(b: int, cap: int) -> int:
     return tb
 
 
-def _common_specs(tb, n, g, f):
+def _common_specs(tb, n, g, f, smear=None):
     return [
-        pl.BlockSpec((tb, n, n, g), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM) if smear is not None else
+         pl.BlockSpec((tb, n, n, g), lambda i: (i, 0, 0, 0),
+                      memory_space=pltpu.VMEM)),
         pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, n, f), lambda i: (i, 0, 0),
@@ -160,14 +199,15 @@ def _common_specs(tb, n, g, f):
     ]
 
 
-def _fwd_call(ea, env, x, w1, b1, w2, b2, *, interpret: bool):
-    b, n, _, g = ea.shape
+def _fwd_call(ea, env, x, w1, b1, w2, b2, *, interpret: bool, smear=None):
+    b, n = ea.shape[0], ea.shape[1]
+    g = smear[2] if smear is not None else ea.shape[3]
     f = w1.shape[1]
     tb = _pick_tb(b, 8)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, smear=smear),
         grid=(b // tb,),
-        in_specs=_common_specs(tb, n, g, f),
+        in_specs=_common_specs(tb, n, g, f, smear),
         out_specs=pl.BlockSpec((tb, n, f), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, f), jnp.float32),
@@ -175,14 +215,15 @@ def _fwd_call(ea, env, x, w1, b1, w2, b2, *, interpret: bool):
     )(ea, env, x, w1, b1, w2, b2)
 
 
-def _bwd_call(ea, env, x, w1, b1, w2, b2, g, *, interpret: bool):
-    b, n, _, gg = ea.shape
+def _bwd_call(ea, env, x, w1, b1, w2, b2, g, *, interpret: bool, smear=None):
+    b, n = ea.shape[0], ea.shape[1]
+    gg = smear[2] if smear is not None else ea.shape[3]
     f = w1.shape[1]
     tb = _pick_tb(b, 4)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, smear=smear),
         grid=(b // tb,),
-        in_specs=_common_specs(tb, n, gg, f) + [
+        in_specs=_common_specs(tb, n, gg, f, smear) + [
             pl.BlockSpec((tb, n, f), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -228,6 +269,30 @@ def _rule_bwd(interpret, res, g):
 _cfconv_pallas.defvjp(_rule_fwd, _rule_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _cfconv_pallas_rbf(dist, env, x, w1, b1, w2, b2, smear, interpret: bool):
+    return _fwd_call(dist, env, x, w1, b1, w2, b2, interpret=interpret,
+                     smear=smear)
+
+
+def _rule_fwd_rbf(dist, env, x, w1, b1, w2, b2, smear, interpret):
+    out = _fwd_call(dist, env, x, w1, b1, w2, b2, interpret=interpret,
+                    smear=smear)
+    return out, (dist, env, x, w1, b1, w2, b2)
+
+
+def _rule_bwd_rbf(smear, interpret, res, g):
+    dist, env, x, w1, b1, w2, b2 = res
+    dx, dw1, db1, dw2, db2 = _bwd_call(
+        dist, env, x, w1, b1, w2, b2, g, interpret=interpret, smear=smear)
+    # dist/env carry NO gradient by contract (module docstring)
+    return (jnp.zeros_like(dist), jnp.zeros_like(env), dx,
+            dw1, db1, dw2, db2)
+
+
+_cfconv_pallas_rbf.defvjp(_rule_fwd_rbf, _rule_bwd_rbf)
+
+
 def fused_cfconv(
     ea: jnp.ndarray,
     env: jnp.ndarray,
@@ -262,3 +327,46 @@ def fused_cfconv(
             w2.astype(jnp.float32), b2.astype(jnp.float32)[None, :],
             impl == "pallas_interpret")
     raise ValueError(f"unknown fused_cfconv impl: {impl}")
+
+
+def fused_cfconv_rbf(
+    dist: jnp.ndarray,
+    env: jnp.ndarray,
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    start: float,
+    stop: float,
+    num_gaussians: int,
+    bf16: bool = True,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Fused Gaussian smearing + CFConv from RAW distances ``[B, N, N]``.
+
+    Same math as ``fused_cfconv(gaussian_smearing(dist, start, stop, G),
+    env, x, ...)`` but the smeared slab is synthesized in VMEM
+    (:func:`_smear`) — the kernel's HBM input drops from the 2.5x-lane-padded
+    [B, N, N, G] tensor (33.5 MB bf16 at mb=128, read on fwd AND bwd) to the
+    [B, N, N] distances (4 MB), and the XLA-side smearing write disappears
+    entirely.  Gradient contract identical to :func:`fused_cfconv`: zero
+    cotangents for ``dist``/``env``."""
+    from moleculesde_tpu.ops.fourier import gaussian_smearing
+
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        ea = gaussian_smearing(dist, start, stop, num_gaussians)
+        return _cfconv_xla(ea.astype(dt), env, x.astype(dt),
+                           w1, b1[None, :], w2, b2[None, :])
+    if impl in ("pallas", "pallas_interpret"):
+        smear = (float(start), float(stop), int(num_gaussians), dt)
+        return _cfconv_pallas_rbf(
+            dist.astype(jnp.float32), env.astype(jnp.float32), x.astype(dt),
+            w1.astype(jnp.float32), b1.astype(jnp.float32)[None, :],
+            w2.astype(jnp.float32), b2.astype(jnp.float32)[None, :],
+            smear, impl == "pallas_interpret")
+    raise ValueError(f"unknown fused_cfconv_rbf impl: {impl}")

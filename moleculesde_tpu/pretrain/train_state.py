@@ -100,6 +100,10 @@ class PretrainConfig:
     # fix for the inverted batch-scaling curve; see make_pretrain_step).
     # 0 disables.  256 is the measured VMEM-resident size at n_max=32.
     microbatch: int = 0
+    # unroll the accumulation scan when the chunk count B/microbatch is at
+    # most this (straight-line code: no while-loop carry boundary, and XLA
+    # can overlap chunk i's backward with chunk i+1's forward); 1 = never
+    microbatch_unroll: int = 1
     # 3D->2D attention-map implementation (ops/attn_maps.py):
     # "auto" = the lane-exact "wide" XLA bank on TPU, standard XLA elsewhere
     attn_impl_3dto2d: str = "auto"

@@ -210,7 +210,13 @@ def make_pretrain_step(
             "loss")}
         (new_bs, grads, metrics), _ = jax.lax.scan(
             body, (state.batch_stats, zeros_g, zeros_m),
-            (chunks, jnp.arange(k)))
+            (chunks, jnp.arange(k)),
+            # straight-line the accumulation when the chunk count is tiny:
+            # at k=2 the while-loop per-iteration boundary (carry copies +
+            # no cross-chunk scheduling) costs more than the code-size win,
+            # and unrolling lets XLA overlap chunk i's backward with chunk
+            # i+1's forward
+            unroll=k if k <= int(cfg.microbatch_unroll) else 1)
         inv = 1.0 / k
         grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)

@@ -90,7 +90,7 @@ def test_schnet_cfconv_impls_agree():
     key = jax.random.PRNGKey(0)
     outs = {}
     variables = None
-    for impl in ("xla", "pallas_interpret"):
+    for impl in ("xla", "pallas_interpret", "pallas_rbf_interpret"):
         model = SchNet(hidden_channels=16, num_filters=8,
                        num_interactions=2, num_gaussians=5, cutoff=10.0,
                        cfconv=impl)
@@ -99,3 +99,61 @@ def test_schnet_cfconv_impls_agree():
         outs[impl] = model.apply(variables, *args)[1]
     np.testing.assert_allclose(np.asarray(outs["pallas_interpret"]),
                                np.asarray(outs["xla"]), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(outs["pallas_rbf_interpret"]),
+                               np.asarray(outs["xla"]), atol=1e-5, rtol=1e-4)
+
+
+def test_cfconv_rbf_matches_smear_then_cfconv(operands):
+    """fused_cfconv_rbf(dist, ...) == fused_cfconv(gaussian_smearing(dist))
+    — the smearing is synthesized in VMEM from raw distances."""
+    from moleculesde_tpu.ops.cfconv import fused_cfconv_rbf
+    from moleculesde_tpu.ops.fourier import gaussian_smearing
+
+    _, env, x, w1, b1, w2, b2 = operands
+    dist = jnp.abs(jax.random.normal(jax.random.PRNGKey(11), (4, 8, 8))) * 4.0
+    g, cutoff = w1.shape[0], 10.0
+    ea = gaussian_smearing(dist, 0.0, cutoff, g)
+    ref = fused_cfconv(ea, env, x, w1, b1, w2, b2, bf16=False, impl="xla")
+    out = fused_cfconv_rbf(dist, env, x, w1, b1, w2, b2, start=0.0,
+                           stop=cutoff, num_gaussians=g, bf16=False,
+                           impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_cfconv_rbf_grads_and_contract(operands):
+    from moleculesde_tpu.ops.cfconv import fused_cfconv_rbf
+    from moleculesde_tpu.ops.fourier import gaussian_smearing
+
+    _, env, x, w1, b1, w2, b2 = operands
+    dist = jnp.abs(jax.random.normal(jax.random.PRNGKey(12), (4, 8, 8))) * 4.0
+    g, cutoff = w1.shape[0], 10.0
+
+    def f_ref(x_, w1_, b1_, w2_, b2_):
+        ea = gaussian_smearing(dist, 0.0, cutoff, g)
+        out = fused_cfconv(ea, env, x_, w1_, b1_, w2_, b2_, bf16=False,
+                           impl="xla")
+        wgt = jnp.arange(out.size).reshape(out.shape) / out.size
+        return jnp.sum(out * wgt)
+
+    def f_k(x_, w1_, b1_, w2_, b2_):
+        out = fused_cfconv_rbf(dist, env, x_, w1_, b1_, w2_, b2_, start=0.0,
+                               stop=cutoff, num_gaussians=g, bf16=False,
+                               impl="pallas_interpret")
+        wgt = jnp.arange(out.size).reshape(out.shape) / out.size
+        return jnp.sum(out * wgt)
+
+    for g_ref, g_k in zip(
+            jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2),
+            jax.grad(f_k, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)):
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    # zero-cotangent contract for dist/env
+    def f_de(d_, e_):
+        return jnp.sum(fused_cfconv_rbf(d_, e_, x, w1, b1, w2, b2, start=0.0,
+                                        stop=cutoff, num_gaussians=g,
+                                        bf16=False, impl="pallas_interpret"))
+    dd, de = jax.grad(f_de, argnums=(0, 1))(dist, env)
+    assert float(jnp.abs(dd).max()) == 0.0
+    assert float(jnp.abs(de).max()) == 0.0
