@@ -192,6 +192,12 @@ def get_parser() -> argparse.ArgumentParser:
                              "over microbatches (keeps the score models' "
                              "pair tensors VMEM-resident; 128 is the "
                              "measured sweet spot at n_max=32); 0 disables")
+    parser.add_argument("--microbatch_scope", type=str, default="step",
+                        choices=["step", "score"],
+                        help="'step' = classic gradient accumulation over "
+                             "the whole loss; 'score' = only the SDE score "
+                             "losses scan over chunks (encoders + "
+                             "contrastive at full batch)")
     parser.add_argument("--microbatch_unroll", type=int, default=1,
                         help="unroll the gradient-accumulation scan when the "
                              "chunk count batch/microbatch is at most this "

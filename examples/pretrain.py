@@ -154,6 +154,7 @@ def main(argv=None):
         bf16_attn_3dto2d=args.train_precision == "bfloat16",
         schnet_cfconv=args.schnet_cfconv,
         microbatch=args.microbatch,
+        microbatch_scope=args.microbatch_scope,
         microbatch_unroll=args.microbatch_unroll,
     )
 

@@ -104,6 +104,11 @@ class PretrainConfig:
     # most this (straight-line code: no while-loop carry boundary, and XLA
     # can overlap chunk i's backward with chunk i+1's forward); 1 = never
     microbatch_unroll: int = 1
+    # what gets chunked: "step" = whole loss + grads (classic gradient
+    # accumulation), "score" = only the two SDE score losses scan over
+    # chunks inside ONE loss (encoders + contrastive at full batch — the
+    # VMEM cliff is a score-model property; see make_pretrain_loss)
+    microbatch_scope: str = "step"
     # 3D->2D attention-map implementation (ops/attn_maps.py):
     # "auto" = the lane-exact "wide" XLA bank on TPU, standard XLA elsewhere
     attn_impl_3dto2d: str = "auto"

@@ -25,11 +25,67 @@ from moleculesde_tpu.pretrain.train_state import (
 )
 
 
-def make_pretrain_loss(models: Dict[str, Any], cfg: PretrainConfig):
+def _split_rows(x, nb: int, k: int, shards: int = 1):
+    """Split a flat per-graph-row array ([nb * rows_per_graph, ...]) into
+    ``k`` chunks with the SAME (chunk, device)-block membership as
+    :func:`split_microbatches` (see its ``shards`` note)."""
+    per = x.shape[0] // nb
+    mb = nb // k
+    if shards == 1:
+        return x.reshape((k, mb * per) + x.shape[1:])
+    mp = mb // shards
+    y = x.reshape((shards, k, mp * per) + x.shape[1:])
+    return jnp.swapaxes(y, 0, 1).reshape((k, mb * per) + x.shape[1:])
+
+
+def make_pretrain_loss(models: Dict[str, Any], cfg: PretrainConfig,
+                       shards: int = 1):
     """The joint pretraining loss (contrastive + both score-matching terms).
 
     Factored out of :func:`make_pretrain_step` so the gradient-accumulating
-    microbatch path can be verified against per-chunk calls in tests."""
+    microbatch path can be verified against per-chunk calls in tests.
+
+    With ``cfg.microbatch_scope == "score"`` (and ``cfg.microbatch`` set)
+    only the two SDE score losses run chunked — a ``jax.checkpoint``-ed
+    ``lax.scan`` over ``B/mb`` conditioning/batch chunks INSIDE the loss —
+    while the encoders and the contrastive term see the full batch.  The
+    round-4 VMEM-residency cliff (README "Batch scaling") is a property of
+    the score models' [B, N, N, C] pair fusions alone: the encoders' pair
+    tensors live inside tiled Pallas kernels (cfconv / gin_messages) that
+    are batch-size-indifferent, so chunking them too (scope "step") only
+    halves their dot sizes and doubles their op count.  Autodiff through
+    the scan accumulates the encoder cotangents across chunks; the
+    checkpoint keeps each chunk's pair tensors out of the saved-residual
+    set (recomputed in the VMEM regime on the backward pass)."""
+
+    def _score_losses_scanned(params, batch_stats23, batch, node_2d, node_3d,
+                              k_23, k_32, k_drop, k: int):
+        chunks = split_microbatches(batch, k, shards)
+        nb = batch.num_graphs
+        n2 = _split_rows(node_2d, nb, k, shards)
+        n3 = _split_rows(node_3d, nb, k, shards)
+
+        def body(carry, xs):
+            bs23, acc23, acc32 = carry
+            chunk, c2, c3, i = xs
+            out23, mut23 = models["SDE_2Dto3D_model"].apply(
+                {"params": params["SDE_2Dto3D_model"], "batch_stats": bs23},
+                c2, chunk, jax.random.fold_in(k_23, i), cfg.anneal_power,
+                deterministic=False, use_running_average=False,
+                rngs={"dropout": jax.random.fold_in(k_drop, i)},
+                mutable=["batch_stats"], method=SDEModel2Dto3D.loss)
+            loss_x, loss_adj = models["SDE_3Dto2D_model"].apply(
+                {"params": params["SDE_3Dto2D_model"]},
+                c3, chunk, jax.random.fold_in(k_32, i), cfg.anneal_power,
+                cfg.reduce_mean, method=SDEModel3Dto2D.loss)
+            return (mut23["batch_stats"], acc23 + out23["position"],
+                    acc32 + 0.5 * (loss_x + loss_adj)), None
+
+        (bs23, l23, l32), _ = jax.lax.scan(
+            jax.checkpoint(body),
+            (batch_stats23, jnp.zeros(()), jnp.zeros(())),
+            (chunks, n2, n3, jnp.arange(k)))
+        return l23 / k, l32 / k, bs23
 
     def loss_fn(params, batch_stats, batch: GraphBatch, key: jax.Array,
                 coeff_contrastive: jnp.ndarray):
@@ -56,6 +112,22 @@ def make_pretrain_loss(models: Dict[str, Any], cfg: PretrainConfig):
         total = total + coeff_contrastive * cl_loss
         metrics["CL_loss"] = cl_loss
         metrics["CL_acc"] = cl_acc
+
+        mb = cfg.microbatch if cfg.microbatch_scope == "score" else 0
+        if (mb and batch.num_graphs > mb and batch.num_graphs % mb == 0
+                and cfg.coeff_generative_2dto3d > 0
+                and cfg.coeff_generative_3dto2d > 0):
+            loss_23, loss_32, bs23 = _score_losses_scanned(
+                params, batch_stats["SDE_2Dto3D_model"], batch,
+                node_2d, node_3d, k_23, k_32, k_drop,
+                batch.num_graphs // mb)
+            total = (total + cfg.coeff_generative_2dto3d * loss_23
+                     + cfg.coeff_generative_3dto2d * loss_32)
+            metrics["SDE_loss_2Dto3D"] = loss_23
+            metrics["SDE_loss_3Dto2D"] = loss_32
+            metrics["loss"] = total
+            return total, (metrics, {"model_2D": mut2d["batch_stats"],
+                                     "SDE_2Dto3D_model": bs23})
 
         if cfg.coeff_generative_2dto3d > 0:
             out23, mut23 = models["SDE_2Dto3D_model"].apply(
@@ -181,7 +253,7 @@ def make_pretrain_step(
     :func:`split_microbatches` so the accumulation scan stays unsharded and
     every device contributes to every chunk."""
     tx = make_optimizer(cfg)
-    loss_fn = make_pretrain_loss(models, cfg)
+    loss_fn = make_pretrain_loss(models, cfg, shards)
 
     def accumulate(state: PretrainState, batch, key, coeff_contrastive, k):
         from moleculesde_tpu.data.compact import CompactBatch, expand_on_device
@@ -234,7 +306,7 @@ def make_pretrain_step(
         # one device program per step (a separate host-side random.split is a
         # tiny extra program whose dispatch latency dominates on remote TPUs)
         key = jax.random.fold_in(key, state.step)
-        mb = cfg.microbatch
+        mb = cfg.microbatch if cfg.microbatch_scope == "step" else 0
         if mb and batch.num_graphs > mb and batch.num_graphs % mb == 0:
             grads, metrics, new_bs = accumulate(
                 state, batch, key, coeff_contrastive, batch.num_graphs // mb)

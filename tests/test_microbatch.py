@@ -126,3 +126,73 @@ def test_split_microbatches_graphbatch_edge_shift():
     np.testing.assert_array_equal(np.asarray(chunks.edge_src[0]),
                                   np.asarray(batch.edge_src[: len(
                                       np.asarray(chunks.edge_src[0]))]))
+
+
+def test_score_scope_microbatch_matches_manual():
+    """microbatch_scope='score': encoders + CL at full batch, SDE losses
+    scanned over chunks — verified against an explicit per-chunk evaluation
+    with the same folded keys and sequential SDE batch stats."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(mb=4), microbatch_scope="score")
+    batch = synthetic_batch(num_graphs=8, n_max=8, seed=4)
+    key = jax.random.PRNGKey(2)
+    models, state = create_pretrain_state(cfg, batch, key)
+    coeff = jnp.asarray(1.0)
+
+    loss_fn = make_pretrain_loss(models, cfg)
+    step_key = jax.random.fold_in(key, 0)
+    total, (metrics, new_bs) = jax.jit(loss_fn)(
+        state.params, state.batch_stats, batch, step_key, coeff)
+
+    # manual reference
+    from moleculesde_tpu.models import SDEModel2Dto3D, SDEModel3Dto2D
+    from moleculesde_tpu.pretrain.contrastive import dual_cl
+    from moleculesde_tpu.pretrain.train_step import _split_rows
+
+    k_drop, k_cl, k_23, k_32 = jax.random.split(step_key, 4)
+    node_2d, _ = models["model_2D"].apply(
+        {"params": state.params["model_2D"],
+         "batch_stats": state.batch_stats["model_2D"]},
+        batch, deterministic=False, use_running_average=False,
+        rngs={"dropout": k_drop}, mutable=["batch_stats"])
+    _, node_3d = models["model_3D"].apply(
+        {"params": state.params["model_3D"]},
+        batch.atomic_numbers, batch.positions, batch.node_mask,
+        batch.num_graphs, batch.n_max)
+    cl_loss, _ = dual_cl(node_2d, node_3d, k_cl,
+                         metric=cfg.cl_similarity_metric, T=cfg.T,
+                         neg_samples=cfg.cl_neg_samples,
+                         mask=batch.node_mask, normalize=cfg.normalize)
+
+    k = 2
+    chunks = split_microbatches(batch, k)
+    n2 = _split_rows(node_2d, 8, k)
+    n3 = _split_rows(node_3d, 8, k)
+    bs23 = state.batch_stats["SDE_2Dto3D_model"]
+    l23 = l32 = 0.0
+    for i in range(k):
+        chunk = jax.tree_util.tree_map(lambda x: x[i], chunks)
+        out23, mut23 = models["SDE_2Dto3D_model"].apply(
+            {"params": state.params["SDE_2Dto3D_model"], "batch_stats": bs23},
+            n2[i], chunk, jax.random.fold_in(k_23, i), cfg.anneal_power,
+            deterministic=False, use_running_average=False,
+            rngs={"dropout": jax.random.fold_in(k_drop, i)},
+            mutable=["batch_stats"], method=SDEModel2Dto3D.loss)
+        bs23 = mut23["batch_stats"]
+        lx, ladj = models["SDE_3Dto2D_model"].apply(
+            {"params": state.params["SDE_3Dto2D_model"]},
+            n3[i], chunk, jax.random.fold_in(k_32, i), cfg.anneal_power,
+            method=SDEModel3Dto2D.loss)
+        l23 += float(out23["position"])
+        l32 += float(0.5 * (lx + ladj))
+    expect = float(cl_loss) + l23 / k + l32 / k
+    np.testing.assert_allclose(float(total), expect, rtol=1e-3)
+    np.testing.assert_allclose(float(metrics["SDE_loss_2Dto3D"]), l23 / k,
+                               rtol=1e-3)
+
+    # and the full jitted step runs + updates
+    step = make_pretrain_step(models, cfg)
+    new_state, m = step(state, batch, key, coeff)
+    assert np.isfinite(float(m["loss"]))
+    assert int(new_state.step) == 1
