@@ -9,8 +9,11 @@ fix is lax.scan gradient accumulation over VMEM-sized chunks inside ONE
 device program (pretrain/train_step.py::make_pretrain_step, cfg.microbatch).
 
 Usage:  python benchmarks/bench_microbatch.py [BATCH [MB ...]]
-   or:  python benchmarks/bench_microbatch.py B1:MB1 B2:MB2 ...
-Defaults: BATCH=1024, MB in {0, 256}.  Sync-mode timing per bench.py.
+   or:  python benchmarks/bench_microbatch.py B1:MB1[:SCOPE] B2:MB2[:SCOPE] ...
+Defaults: BATCH=1024, MB in {0, 256}.  SCOPE is `step` (whole-step gradient
+accumulation, the default) or `score` (microbatch_scope='score': only the
+two SDE losses chunked, encoders + contrastive at full batch).
+Sync-mode timing per bench.py.
 
 First sweep (v5e-1, n_max 32, emb 300), batch 1024:
   mb=0: 110.7 ms/step -> 9,251 mols/s   (the r3 inverted-curve point)
@@ -32,30 +35,35 @@ from moleculesde_tpu.pretrain import (
 
 def main():
     if any(":" in a for a in sys.argv[1:]):
-        pairs = [tuple(int(v) for v in a.split(":")) for a in sys.argv[1:]]
+        pairs = []
+        for a in sys.argv[1:]:
+            parts = a.split(":")
+            scope = parts[2] if len(parts) > 2 else "step"
+            pairs.append((int(parts[0]), int(parts[1]), scope))
     else:
         batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
         mbs = [int(x) for x in sys.argv[2:]] or [0, 256]
-        pairs = [(batch_size, mb) for mb in mbs]
+        pairs = [(batch_size, mb, "step") for mb in mbs]
     print(f"devices: {jax.devices()}", flush=True)
     key = jax.random.PRNGKey(0)
     coeff = jnp.asarray(1.0)
     results = {}
     batches = {}
-    for batch_size, mb in pairs:
+    for batch_size, mb, scope in pairs:
         if batch_size not in batches:
             batches[batch_size] = jax.device_put(synthetic_compact_batch(
                 num_graphs=batch_size, n_max=32, seed=2))
         batch = batches[batch_size]
         cfg = PretrainConfig(emb_dim=300, dropout_ratio=0.0,
                              cl_similarity_metric="EBM_node_dot_prod",
-                             microbatch=mb)
+                             microbatch=mb, microbatch_scope=scope)
+        tag = f"B={batch_size} mb={mb} scope={scope}"
         t0 = time.time()
         models, state = create_pretrain_state(cfg, batch, key)
         step = make_pretrain_step(models, cfg)
         state, m = step(state, batch, key, coeff)
         loss0 = float(m["loss"])  # sync-mode switch + drain
-        print(f"B={batch_size} mb={mb}: compile {time.time() - t0:.1f}s  "
+        print(f"{tag}: compile {time.time() - t0:.1f}s  "
               f"loss {loss0:.4f}", flush=True)
         steps = 30
         t0 = time.time()
@@ -64,11 +72,11 @@ def main():
         float(m["loss"])
         dt = time.time() - t0
         rate = batch_size * steps / dt
-        results[(batch_size, mb)] = rate
-        print(f"B={batch_size} mb={mb}: {1e3 * dt / steps:.1f} ms/step -> "
+        results[(batch_size, mb, scope)] = rate
+        print(f"{tag}: {1e3 * dt / steps:.1f} ms/step -> "
               f"{rate:.0f} mols/s", flush=True)
         del models, state, step, m
-    print({f"{b}:{mb}": round(r) for (b, mb), r in results.items()},
+    print({f"{b}:{mb}:{s}": round(r) for (b, mb, s), r in results.items()},
           flush=True)
 
 

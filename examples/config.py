@@ -193,11 +193,14 @@ def get_parser() -> argparse.ArgumentParser:
                              "pair tensors VMEM-resident; 128 is the "
                              "measured sweet spot at n_max=32); 0 disables")
     parser.add_argument("--microbatch_scope", type=str, default="step",
-                        choices=["step", "score"],
+                        choices=["step", "score", "splice"],
                         help="'step' = classic gradient accumulation over "
                              "the whole loss; 'score' = only the SDE score "
                              "losses scan over chunks (encoders + "
-                             "contrastive at full batch)")
+                             "contrastive at full batch, remat scan); "
+                             "'splice' = like 'score' but the backward is "
+                             "spliced by hand (grad inside the scan body, "
+                             "no recompute)")
     parser.add_argument("--microbatch_unroll", type=int, default=1,
                         help="unroll the gradient-accumulation scan when the "
                              "chunk count batch/microbatch is at most this "

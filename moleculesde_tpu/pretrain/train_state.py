@@ -107,7 +107,9 @@ class PretrainConfig:
     # what gets chunked: "step" = whole loss + grads (classic gradient
     # accumulation), "score" = only the two SDE score losses scan over
     # chunks inside ONE loss (encoders + contrastive at full batch — the
-    # VMEM cliff is a score-model property; see make_pretrain_loss)
+    # VMEM cliff is a score-model property; see make_pretrain_loss);
+    # "splice" = like "score" with a hand-spliced backward (grad inside the
+    # accumulation scan, no remat recompute; make_pretrain_grads_spliced)
     microbatch_scope: str = "step"
     # 3D->2D attention-map implementation (ops/attn_maps.py):
     # "auto" = the lane-exact "wide" XLA bank on TPU, standard XLA elsewhere

@@ -38,6 +38,18 @@ def _split_rows(x, nb: int, k: int, shards: int = 1):
     return jnp.swapaxes(y, 0, 1).reshape((k, mb * per) + x.shape[1:])
 
 
+def _unsplit_rows(y, nb: int, k: int, shards: int = 1):
+    """Inverse of :func:`_split_rows`: [k, mb*per, ...] -> [nb*per, ...]
+    (used to reassemble per-chunk encoder cotangents into full-batch rows)."""
+    mb = nb // k
+    per = y.shape[1] // mb
+    if shards == 1:
+        return y.reshape((k * mb * per,) + y.shape[2:])
+    mp = mb // shards
+    z = y.reshape((k, shards, mp * per) + y.shape[2:])
+    return jnp.swapaxes(z, 0, 1).reshape((nb * per,) + y.shape[2:])
+
+
 def make_pretrain_loss(models: Dict[str, Any], cfg: PretrainConfig,
                        shards: int = 1):
     """The joint pretraining loss (contrastive + both score-matching terms).
@@ -165,6 +177,124 @@ def make_pretrain_loss(models: Dict[str, Any], cfg: PretrainConfig,
     return loss_fn
 
 
+def make_pretrain_grads_spliced(models: Dict[str, Any], cfg: PretrainConfig,
+                                shards: int = 1):
+    """Score-scope microbatch gradients WITHOUT remat — a manual VJP splice.
+
+    ``microbatch_scope='score'`` chunks only the SDE losses but pays for it
+    with ``jax.checkpoint`` on the scan body: every chunk's score forward
+    runs TWICE (the scan carries residuals across iterations otherwise).
+    This variant splices the backward by hand so nothing recomputes:
+
+      1. encoders forward ONCE at full batch through ``jax.vjp`` (their
+         residuals are small — the pair tensors live inside tiled Pallas
+         kernels);
+      2. contrastive term + its (node_2d, node_3d) cotangents via ``jax.vjp``;
+      3. a ``lax.scan`` over B/mb chunks runs ``value_and_grad`` of the two
+         SDE losses wrt (SDE params, node_2d chunk, node_3d chunk) — grad
+         INSIDE the body, so residuals never cross iterations and no
+         checkpoint is needed;
+      4. the averaged chunk cotangents reassemble (``_unsplit_rows``) into
+         full-batch node cotangents and flow through the encoder VJPs once.
+
+    Identical semantics to scope='score' (same per-chunk fold_in noise,
+    sequential SDE batch-stats, same loss weighting) with one fewer score
+    forward per chunk; parity is tested in tests/test_microbatch.py."""
+
+    def grads_fn(params, batch_stats, batch: GraphBatch, key: jax.Array,
+                 coeff_contrastive: jnp.ndarray, k: int):
+        k_drop, k_cl, k_23, k_32 = jax.random.split(key, 4)
+        nb = batch.num_graphs
+
+        def enc2d(p2d):
+            node_2d, mut = models["model_2D"].apply(
+                {"params": p2d, "batch_stats": batch_stats["model_2D"]},
+                batch, deterministic=False, use_running_average=False,
+                rngs={"dropout": k_drop}, mutable=["batch_stats"])
+            return node_2d, mut["batch_stats"]
+
+        node_2d, vjp_2d, bs2d = jax.vjp(enc2d, params["model_2D"],
+                                        has_aux=True)
+
+        def enc3d(p3d):
+            _, node_3d = models["model_3D"].apply(
+                {"params": p3d}, batch.atomic_numbers, batch.positions,
+                batch.node_mask, batch.num_graphs, batch.n_max)
+            return node_3d
+
+        node_3d, vjp_3d = jax.vjp(enc3d, params["model_3D"])
+
+        def cl_fn(n2, n3):
+            cl_loss, cl_acc = dual_cl(
+                n2, n3, k_cl, metric=cfg.cl_similarity_metric, T=cfg.T,
+                neg_samples=cfg.cl_neg_samples, mask=batch.node_mask,
+                normalize=cfg.normalize)
+            return coeff_contrastive * cl_loss, (cl_loss, cl_acc)
+
+        cl_term, vjp_cl, (cl_loss, cl_acc) = jax.vjp(
+            cl_fn, node_2d, node_3d, has_aux=True)
+        g_n2, g_n3 = vjp_cl(jnp.ones(()))
+
+        chunks = split_microbatches(batch, k, shards)
+        n2c = _split_rows(node_2d, nb, k, shards)
+        n3c = _split_rows(node_3d, nb, k, shards)
+        p_sde = {"SDE_2Dto3D_model": params["SDE_2Dto3D_model"],
+                 "SDE_3Dto2D_model": params["SDE_3Dto2D_model"]}
+
+        def chunk_loss(p, bs23, chunk, c2, c3, i):
+            out23, mut23 = models["SDE_2Dto3D_model"].apply(
+                {"params": p["SDE_2Dto3D_model"], "batch_stats": bs23},
+                c2, chunk, jax.random.fold_in(k_23, i), cfg.anneal_power,
+                deterministic=False, use_running_average=False,
+                rngs={"dropout": jax.random.fold_in(k_drop, i)},
+                mutable=["batch_stats"], method=SDEModel2Dto3D.loss)
+            loss_x, loss_adj = models["SDE_3Dto2D_model"].apply(
+                {"params": p["SDE_3Dto2D_model"]},
+                c3, chunk, jax.random.fold_in(k_32, i), cfg.anneal_power,
+                cfg.reduce_mean, method=SDEModel3Dto2D.loss)
+            l23 = out23["position"]
+            l32 = 0.5 * (loss_x + loss_adj)
+            total = (cfg.coeff_generative_2dto3d * l23
+                     + cfg.coeff_generative_3dto2d * l32)
+            return total, (mut23["batch_stats"], l23, l32)
+
+        gfn = jax.value_and_grad(chunk_loss, argnums=(0, 3, 4), has_aux=True)
+
+        def body(carry, xs):
+            bs23, gacc, l23a, l32a = carry
+            chunk, c2, c3, i = xs
+            (_, (bs23n, l23, l32)), (gp, gc2, gc3) = gfn(
+                p_sde, bs23, chunk, c2, c3, i)
+            gacc = jax.tree_util.tree_map(lambda a, g: a + g, gacc, gp)
+            return (bs23n, gacc, l23a + l23, l32a + l32), (gc2, gc3)
+
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, p_sde)
+        (bs23, g_sde, l23s, l32s), (g2s, g3s) = jax.lax.scan(
+            body,
+            (batch_stats["SDE_2Dto3D_model"], zeros_g,
+             jnp.zeros(()), jnp.zeros(())),
+            (chunks, n2c, n3c, jnp.arange(k)))
+        inv = 1.0 / k
+        g_sde = jax.tree_util.tree_map(lambda g: g * inv, g_sde)
+        loss_23, loss_32 = l23s * inv, l32s * inv
+
+        g_n2 = g_n2 + _unsplit_rows(g2s, nb, k, shards) * inv
+        g_n3 = g_n3 + _unsplit_rows(g3s, nb, k, shards) * inv
+        (g_p2d,) = vjp_2d(g_n2)
+        (g_p3d,) = vjp_3d(g_n3)
+
+        grads = {"model_2D": g_p2d, "model_3D": g_p3d, **g_sde}
+        total = (cl_term + cfg.coeff_generative_2dto3d * loss_23
+                 + cfg.coeff_generative_3dto2d * loss_32)
+        metrics = {"CL_loss": cl_loss, "CL_acc": cl_acc,
+                   "SDE_loss_2Dto3D": loss_23, "SDE_loss_3Dto2D": loss_32,
+                   "loss": total}
+        new_bs = {"model_2D": bs2d, "SDE_2Dto3D_model": bs23}
+        return grads, metrics, new_bs
+
+    return grads_fn
+
+
 def split_microbatches(batch, k: int, shards: int = 1):
     """Split a batch into ``k`` equal leading-axis chunks (a pytree whose
     array leaves gain a leading ``k`` axis; static fields keep per-chunk
@@ -254,6 +384,8 @@ def make_pretrain_step(
     every device contributes to every chunk."""
     tx = make_optimizer(cfg)
     loss_fn = make_pretrain_loss(models, cfg, shards)
+    spliced_fn = (make_pretrain_grads_spliced(models, cfg, shards)
+                  if cfg.microbatch_scope == "splice" else None)
 
     def accumulate(state: PretrainState, batch, key, coeff_contrastive, k):
         from moleculesde_tpu.data.compact import CompactBatch, expand_on_device
@@ -307,9 +439,19 @@ def make_pretrain_step(
         # tiny extra program whose dispatch latency dominates on remote TPUs)
         key = jax.random.fold_in(key, state.step)
         mb = cfg.microbatch if cfg.microbatch_scope == "step" else 0
+        mb_splice = cfg.microbatch if cfg.microbatch_scope == "splice" else 0
         if mb and batch.num_graphs > mb and batch.num_graphs % mb == 0:
             grads, metrics, new_bs = accumulate(
                 state, batch, key, coeff_contrastive, batch.num_graphs // mb)
+        elif (mb_splice and batch.num_graphs > mb_splice
+                and batch.num_graphs % mb_splice == 0
+                and cfg.coeff_generative_2dto3d > 0
+                and cfg.coeff_generative_3dto2d > 0):
+            if isinstance(batch, CompactBatch):
+                batch = expand_on_device(batch)
+            grads, metrics, new_bs = spliced_fn(
+                state.params, state.batch_stats, batch, key,
+                coeff_contrastive, batch.num_graphs // mb_splice)
         else:
             if isinstance(batch, CompactBatch):
                 batch = expand_on_device(batch)

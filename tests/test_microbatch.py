@@ -196,3 +196,42 @@ def test_score_scope_microbatch_matches_manual():
     new_state, m = step(state, batch, key, coeff)
     assert np.isfinite(float(m["loss"]))
     assert int(new_state.step) == 1
+
+
+@pytest.mark.parametrize("compact", [True, False])
+def test_splice_scope_matches_score_scope(compact):
+    """microbatch_scope='splice' (hand-spliced backward: encoder VJPs at
+    full batch + grad-inside-scan SDE chunks) computes the SAME gradients
+    as scope='score' (remat scan differentiated end to end) — identical
+    per-chunk keys, loss weighting, and sequential SDE batch stats, so the
+    post-step params must agree to float32 reassociation tolerance."""
+    import dataclasses
+
+    if compact:
+        batch = synthetic_compact_batch(num_graphs=8, n_max=8, seed=6)
+        init = expand_on_device(batch)
+    else:
+        batch = synthetic_batch(num_graphs=8, n_max=8, seed=6)
+        init = batch
+    key = jax.random.PRNGKey(3)
+    coeff = jnp.asarray(1.0)
+
+    states, metrics = {}, {}
+    for scope in ("score", "splice"):
+        cfg = dataclasses.replace(_cfg(mb=4), microbatch_scope=scope)
+        models, state = create_pretrain_state(cfg, init, key)
+        step = make_pretrain_step(models, cfg)
+        new_state, m = step(state, batch, key, coeff)
+        states[scope], metrics[scope] = new_state, m
+
+    for name in ("loss", "CL_loss", "SDE_loss_2Dto3D", "SDE_loss_3Dto2D"):
+        np.testing.assert_allclose(float(metrics["splice"][name]),
+                                   float(metrics["score"][name]), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(states["splice"].params),
+                    jax.tree_util.tree_leaves(states["score"].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(states["splice"].batch_stats),
+                    jax.tree_util.tree_leaves(states["score"].batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)

@@ -80,14 +80,17 @@ def test_graft_entry_points():
     ge.dryrun_multichip(8)
 
 
-def test_sharded_microbatched_step_matches_single_device():
+@pytest.mark.parametrize("scope", ["step", "splice"])
+def test_sharded_microbatched_step_matches_single_device(scope):
     """cfg.microbatch composes with the mesh: the sharded accumulation scan
     (shard-aligned chunk layout, split_microbatches(..., shards=mesh.size))
     matches a single-device step built with the SAME shards layout — chunk
-    membership is identical, so losses agree to reduction-order tolerance."""
+    membership is identical, so losses agree to reduction-order tolerance.
+    scope='splice' additionally exercises the sharded cotangent reassembly
+    (_unsplit_rows with shards=mesh.size)."""
     import dataclasses
 
-    cfg = dataclasses.replace(_cfg(), microbatch=4)
+    cfg = dataclasses.replace(_cfg(), microbatch=4, microbatch_scope=scope)
     batch = synthetic_batch(num_graphs=8, n_max=8, seed=2)
     key = jax.random.PRNGKey(0)
     models, state = create_pretrain_state(cfg, batch, key)
