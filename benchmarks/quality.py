@@ -47,6 +47,7 @@ def train_quality_models(
     sde_type_2dto3d: str = "VE",
     sde_type_3dto2d: str = "VE",
     holdout: Optional[int] = None,
+    cfg_overrides: Optional[Dict] = None,
     log=print,
 ) -> Dict:
     """Pretrain the four components on geometric synthetic molecules; returns
@@ -80,7 +81,7 @@ def train_quality_models(
                          cl_similarity_metric="EBM_node_dot_prod",
                          sde_type_2dto3d=sde_type_2dto3d,
                          sde_type_3dto2d=sde_type_3dto2d,
-                         lr=1e-3)
+                         lr=1e-3, **(cfg_overrides or {}))
     key = jax.random.PRNGKey(seed)
     init_batch, _ = next(iter(loader))
     models, state = create_pretrain_state(cfg, init_batch, key)
@@ -251,12 +252,20 @@ def run_study(
     seed: int = 0,
     sde_type_2dto3d: str = "VE",
     sde_type_3dto2d: str = "VE",
+    cfg_overrides: Optional[Dict] = None,
+    auc_eval_mols: Optional[int] = None,
     log=print,
 ):
+    """``auc_eval_mols`` sizes the 3D->2D graph-recovery eval separately
+    from the (per-molecule-looped, expensive) conformer eval: adjacency
+    sampling is ONE batched program, so evaluating over the whole molecule
+    set costs nothing — and the AUC of a 6-molecule eval carries ±0.1
+    sampling noise (~340 pair samples), which made the r4 toy quality gate
+    flap (VERDICT r4 weak #1).  Defaults to ``eval_mols`` (old behavior)."""
     ctx = train_quality_models(
         n_mols=n_mols, n_max=n_max, emb_dim=emb_dim, steps=steps,
         batch_size=batch_size, seed=seed, sde_type_2dto3d=sde_type_2dto3d,
-        sde_type_3dto2d=sde_type_3dto2d, log=log)
+        sde_type_3dto2d=sde_type_3dto2d, cfg_overrides=cfg_overrides, log=log)
     gen = make_gen_positions(ctx, sample_steps, corrector_steps)
     results = {}
     for name in ("untrained", "trained"):
@@ -268,7 +277,8 @@ def run_study(
                                          snr=snr, eval_mols=eval_mols,
                                          num_repeat=num_repeat, graphs=graphs)
             auc, node_acc = graph_recovery(
-                ctx, params, sample_steps=sample_steps, eval_mols=eval_mols,
+                ctx, params, sample_steps=sample_steps,
+                eval_mols=min(auc_eval_mols or eval_mols, len(graphs)),
                 graphs=graphs, log=log)
             row.update({f"{split}cov@0.5": cov, f"{split}mat": mat,
                         f"{split}adj_auc": auc, f"{split}node_acc": node_acc})

@@ -26,6 +26,7 @@ def main():
     b = int(os.environ.get("TRACE_BATCH", 256))
     cfg = PretrainConfig(emb_dim=300, dropout_ratio=0.0,
                          cl_similarity_metric="EBM_node_dot_prod",
+                         model_3d=os.environ.get("TRACE_MODEL3D", "SchNet"),
                          attn_impl_3dto2d=os.environ.get("TRACE_ATTN", "auto"),
                          schnet_cfconv=os.environ.get("TRACE_CFCONV", "auto"),
                          gnn2d_msg=os.environ.get("TRACE_GINMSG", "auto"),

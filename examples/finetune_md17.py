@@ -54,6 +54,8 @@ def load_data(args):
 
     npz = os.path.join(args.input_data_dir, "MD17", "raw", f"{args.task}_dft.npz")
     graphs, _ = load_md17(npz)
+    if args.max_molecules:
+        graphs = graphs[: args.max_molecules]  # smoke-run cap (runbook)
     return graphs
 
 

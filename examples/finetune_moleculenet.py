@@ -63,6 +63,11 @@ def load_data(args):
     if not os.path.exists(csv_path):
         csv_path += ".gz"
     graphs, smiles = load_moleculenet(args.dataset, csv_path)
+    if args.max_molecules:
+        # smoke-run cap (runbook): truncate BEFORE the split so the scaffold
+        # partition stays consistent with the loaded subset
+        graphs = graphs[: args.max_molecules]
+        smiles = smiles[: args.max_molecules]
     split = scaffold_split(smiles)  # deterministic 80/10/10 (ref splitters.py:21-108)
     return graphs, num_tasks, split
 

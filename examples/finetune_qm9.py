@@ -81,6 +81,8 @@ def load_data(args):
         task_idx = QM9_TARGET_FIELD.index(args.task)
         for g in graphs:
             g["y"] = g["y"][task_idx : task_idx + 1]
+    if args.max_molecules:
+        graphs = graphs[: args.max_molecules]  # smoke-run cap (runbook)
     return graphs
 
 

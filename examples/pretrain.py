@@ -66,6 +66,8 @@ def load_graphs(args):
 
         root = os.path.join(args.input_data_dir, args.dataset)
         graphs, _ = load_qm9(root, extend=args.use_extend_graph)
+        if args.max_molecules:
+            graphs = graphs[: args.max_molecules]  # smoke-run cap (runbook)
         return graphs
     raise ValueError(f"unknown pretrain dataset {args.dataset}")
 

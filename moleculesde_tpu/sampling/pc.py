@@ -67,6 +67,7 @@ def sample_positions_pc(
     probability_flow: bool = False,
     fused: Optional[bool] = None,
     layout: str = "channel",
+    score_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Generate 3D conformers from 2D graphs with PC sampling.
 
@@ -86,6 +87,15 @@ def sample_positions_pc(
     XLA channel-major path; kept as a validated building block for larger
     score networks.  ``fused`` requires ``layout="feature"`` conditioning
     and overrides ``layout``.
+
+    ``score_chunk`` evaluates the score model over batch chunks of that
+    size inside each PC step (a ``lax.map``, the forward-only analogue of
+    the training step's microbatching): at large B the score pipeline's
+    [B, C, N*N] pair tensors fall out of VMEM residency (the same cliff
+    the r4 training step hit), and chunking restores the small-batch
+    per-molecule rate.  Semantics are EXACT — the corrector's global
+    (batch-mean) SNR statistic still reduces over the full batch; only the
+    pair-tensor working set shrinks.  ``None`` or ``>= B`` disables.
     """
     sde = model.sde_pos
     diff_steps = n_steps if n_steps is not None else sde.N
@@ -114,6 +124,32 @@ def sample_positions_pc(
                     else SDEModel2Dto3D.score_from_cond_cm
                     if layout == "channel" else SDEModel2Dto3D.score_from_cond)
 
+    b, n = batch.num_graphs, batch.n_max
+    n_chunks = 1
+    if score_chunk and 0 < score_chunk < b and b % score_chunk == 0:
+        n_chunks = b // score_chunk
+    if n_chunks > 1:
+        # stack the (loop-invariant) conditioning into [n_chunks, chunk, ...]
+        # once; each in-scan score evaluation maps over chunks sequentially.
+        # The score methods read only the static sizes from ``batch``.
+        cond_st = jax.tree_util.tree_map(
+            lambda v: v.reshape((n_chunks, score_chunk) + v.shape[1:]), cond)
+        from types import SimpleNamespace
+        sub_batch = SimpleNamespace(num_graphs=score_chunk, n_max=n,
+                                    num_nodes=score_chunk * n)
+
+        def raw_score(p):
+            def one(c):
+                cnd, pc_ = c
+                return model.apply(variables, cnd, sub_batch, pc_,
+                                   method=score_method)
+            return jax.lax.map(
+                one, (cond_st, p.reshape(n_chunks, score_chunk * n, 3))
+            ).reshape(b * n, 3)
+    else:
+        def raw_score(p):
+            return model.apply(variables, cond, batch, p, method=score_method)
+
     # Hoisted per-chain randomness + schedule scalars.  Every node shares a
     # step's scalar t, so the marginal std and corrector alpha are [n_steps]
     # lookups computed once; ALL chain noise comes from one batched threefry
@@ -134,8 +170,7 @@ def sample_positions_pc(
         if hoist_corr else None)
 
     def get_score(pos, std):
-        raw = model.apply(variables, cond, batch, pos, method=score_method)
-        return -raw / std
+        return -raw_score(pos) / std
 
     def corrector(pos, std, alpha, noises, key):
         x = pos

@@ -90,7 +90,8 @@ def test_pretrain_qm9_then_finetune_qm9(tmp_path):
     _write_qm9(str(data), n=20)
     out = tmp_path / "pre"
     r = _run("pretrain.py", "--dataset=QM9", f"--input_data_dir={data}",
-             "--batch_size=4", *TINY, f"--output_model_dir={out}")
+             "--batch_size=4", "--max_molecules=16", *TINY,
+             f"--output_model_dir={out}")
     assert r.returncode == 0, r.stderr[-3000:]
     assert "CL Loss" in r.stdout
     ckpt = out / "model_complete.msgpack"
@@ -150,7 +151,8 @@ def test_finetune_moleculenet_bbbp_scaffold(tmp_path):
             smiles = "XX(=" if i == 9 else s  # one unparseable row
             f.write(f"{i},m{i},{label},{smiles}\n")
     r = _run("finetune_moleculenet.py", "--dataset=bbbp",
-             f"--input_data_dir={tmp_path}", "--batch_size=4", *TINY)
+             f"--input_data_dir={tmp_path}", "--batch_size=4",
+             "--max_molecules=20", *TINY)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "best train" in r.stdout
 
@@ -169,6 +171,6 @@ def test_finetune_md17_npz(tmp_path):
              F=rng.normal(size=(n_frames, n_atoms, 3)))
     r = _run("finetune_md17.py", "--dataset=MD17", "--task=aspirin",
              f"--input_data_dir={tmp_path}", "--MD17_train_batch_size=4",
-             *TINY)
+             "--max_molecules=16", *TINY)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "F MAE" in r.stdout

@@ -96,3 +96,28 @@ def test_position_sampler_statistics_shrink_with_denoise(batch):
                                   n_steps=6, denoise=False)
     assert np.all(np.isfinite(np.asarray(pos_mean)))
     assert np.all(np.isfinite(np.asarray(pos_raw)))
+
+
+def test_position_sampler_score_chunk_parity():
+    """score_chunk (in-scan chunked score evaluation — the B=1024 VMEM-cliff
+    fix, VERDICT r4 #4) is semantics-exact: the chunked and unchunked chains
+    walk the same trajectory under the same key, including the global
+    (batch-mean) SNR corrector statistic."""
+    b4 = synthetic_batch(num_graphs=4, n_max=6, seed=11)
+    model = SDEModel2Dto3D(
+        emb_dim=8, hidden_dim=8, variant=1, sde_type="VE",
+        beta_min=0.2, beta_max=1.0, num_diffusion_timesteps=8)
+    node_2d = jax.random.normal(jax.random.PRNGKey(0), (b4.num_nodes, 8))
+    key = jax.random.PRNGKey(9)
+    variables = model.init({"params": key, "dropout": key}, node_2d, b4, key,
+                           method=SDEModel2Dto3D.loss)
+    ref = np.asarray(sample_positions_pc(model, variables, node_2d, b4, key,
+                                         n_steps=8))
+    for chunk in (2, 1):
+        got = np.asarray(sample_positions_pc(
+            model, variables, node_2d, b4, key, n_steps=8, score_chunk=chunk))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+    # disabling values: >= B or None leave the path untouched
+    same = np.asarray(sample_positions_pc(
+        model, variables, node_2d, b4, key, n_steps=8, score_chunk=4))
+    np.testing.assert_allclose(same, ref, rtol=0, atol=0)
