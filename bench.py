@@ -215,12 +215,20 @@ def measure_jax() -> dict:
     # 2D->3D l.29-39) — each 200-step chain yields B conformers.
     sampler_sps = 0.0
     sampler_cps = {}
+    # score_chunk=128 (r5, VERDICT r4 #4): the unchunked B=1024 chain pays
+    # 1.5-4.6x per molecule in the score pipeline's pair fusions/copies
+    # (VMEM-residency cliff, device-traced at 16.7 ms/PC step vs 2.74 @256);
+    # in-scan chunked score evaluation (sampling/pc.py::score_chunk) restores
+    # flat scaling — measured 481 conformers/s @256 (was 454), 494 @1024
+    # (was 306), 494 @2048 (benchmarks/ab_sampler_chunk.py).
+    chunk = int(os.environ.get("BENCH_SAMPLER_CHUNK", 128))
     for b_s, n_rounds in ((64, 5), (256, 2), (1024, 1)):
         sample_batch = synthetic_batch(num_graphs=b_s, n_max=N_MAX, seed=1)
         sample_batch = jax.device_put(sample_batch)
         node_2d = jnp.zeros((sample_batch.num_nodes, EMB))
-        f = jax.jit(lambda v, r, k, sb=sample_batch: sample_positions_pc(
-            sde_model, v, r, sb, k, n_steps=n_sampler_steps))
+        sc = chunk if (chunk and b_s > chunk) else None
+        f = jax.jit(lambda v, r, k, sb=sample_batch, c=sc: sample_positions_pc(
+            sde_model, v, r, sb, k, n_steps=n_sampler_steps, score_chunk=c))
         pos = f(v23, node_2d, key)
         float(pos[0, 0])  # drain compile + warmup
         # Same timing recipe as the pretrain metric: several synchronous

@@ -301,6 +301,10 @@ def main():
         snr=float(os.environ.get("QUALITY_SNR", 0.2)),
         sde_type_2dto3d=os.environ.get("QUALITY_SDE_2DTO3D", "VE"),
         sde_type_3dto2d=os.environ.get("QUALITY_SDE_3DTO2D", "VE"),
+        auc_eval_mols=int(os.environ.get("QUALITY_AUC_EVAL_MOLS", 0)) or None,
+        cfg_overrides=(
+            {"model_3d": os.environ.get("QUALITY_MODEL3D")}
+            if os.environ.get("QUALITY_MODEL3D") else None),
     )
     print(json.dumps({"metric": "learning_quality", **{
         f"{k}_{m}": round(v, 4) for k, d in res.items() for m, v in d.items()

