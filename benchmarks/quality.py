@@ -238,6 +238,35 @@ def graph_recovery(ctx: Dict, params, sample_steps: int = 300,
     return auc, node_acc
 
 
+def heldout_sde_losses(ctx: Dict) -> Dict:
+    """Paired held-out pretraining-loss eval: the three loss terms on the
+    held-out molecules under trained vs untrained params with the SAME
+    noise/timestep key and batch.
+
+    This is the low-variance learning signal for the 3D->2D direction: the
+    generative adjacency-recovery AUC needs PC sampling whose toy-scale
+    noise floor is ±0.05 even over the full molecule set (r5 A/B,
+    benchmarks/bf16_quality_ab.py), while the paired score-matching loss
+    comparison is deterministic given the key.  Reference objective:
+    SDE_model_3D_to_2D_node_adj_dense.py:101-179."""
+    from moleculesde_tpu.core.batch import pad_graphs
+    from moleculesde_tpu.pretrain.train_step import make_pretrain_loss
+
+    batch = jax.device_put(pad_graphs(
+        ctx["held_graphs"], n_max=ctx["n_max"], e_max=ctx["e_max"],
+        ext_e_max=ctx["ext_e_max"]))
+    loss_fn = jax.jit(make_pretrain_loss(ctx["models"], ctx["cfg"]))
+    key = jax.random.PRNGKey(ctx["seed"] + 3)
+    out = {}
+    for name in ("untrained", "trained"):
+        params, batch_stats = ctx[name]
+        _, (metrics, _) = loss_fn(params, batch_stats, batch, key,
+                                  jnp.asarray(1.0))
+        out[name] = {k: float(v) for k, v in metrics.items()
+                     if k.startswith(("SDE_", "CL_"))}
+    return out
+
+
 def run_study(
     n_mols: int = 256,
     n_max: int = 16,
@@ -267,10 +296,14 @@ def run_study(
         batch_size=batch_size, seed=seed, sde_type_2dto3d=sde_type_2dto3d,
         sde_type_3dto2d=sde_type_3dto2d, cfg_overrides=cfg_overrides, log=log)
     gen = make_gen_positions(ctx, sample_steps, corrector_steps)
+    losses = heldout_sde_losses(ctx)
     results = {}
     for name in ("untrained", "trained"):
         params, batch_stats = ctx[name]
         results[name] = row = {}
+        row.update({f"heldout_loss_{k}": v for k, v in losses[name].items()})
+        log(f"{name:10s} held-out losses: " + "  ".join(
+            f"{k}={v:.4f}" for k, v in losses[name].items()))
         for split, graphs in (("", ctx["graphs"]),
                               ("heldout_", ctx["held_graphs"])):
             cov, mat = conformer_metrics(ctx, params, batch_stats, gen,
