@@ -96,16 +96,21 @@ def finetune_cls2d(ctx: Dict, graphs_train: List[dict], graphs_eval: List[dict],
         for batch, n_real in loader:
             gm = np.arange(batch.num_graphs) < n_real
             state, _ = train_step(state, jax.device_put(batch), key, gm, lr_dev)
-    ev = GraphLoader(graphs_eval, batch_size=batch_size, n_max=n_max,
-                     e_max=e_max, shuffle=False, drop_last=False,
-                     seed=seed, num_tasks=1)
-    ys, ss = [], []
-    for batch, n_real in ev:
-        pred = np.asarray(eval_step(state, jax.device_put(batch)))
-        ys.append(np.asarray(batch.y)[:n_real, 0])
-        ss.append(pred[:n_real, 0])
-    y = (np.concatenate(ys) + 1) / 2  # {-1,+1} -> {0,1}
-    return float(roc_auc_score(y, np.concatenate(ss)))
+    def auc_on(graphs):
+        ld = GraphLoader(graphs, batch_size=batch_size, n_max=n_max,
+                         e_max=e_max, shuffle=False, drop_last=False,
+                         seed=seed, num_tasks=1)
+        ys, ss = [], []
+        for batch, n_real in ld:
+            pred = np.asarray(eval_step(state, jax.device_put(batch)))
+            ys.append(np.asarray(batch.y)[:n_real, 0])
+            ss.append(pred[:n_real, 0])
+        y = (np.concatenate(ys) + 1) / 2  # {-1,+1} -> {0,1}
+        return float(roc_auc_score(y, np.concatenate(ss)))
+
+    # train metric alongside eval: separates failure-to-fit from
+    # failure-to-generalize (r5 diagnosis aid)
+    return auc_on(graphs_eval), auc_on(graphs_train)
 
 
 def finetune_reg3d(ctx: Dict, graphs_train: List[dict], graphs_eval: List[dict],
@@ -146,15 +151,18 @@ def finetune_reg3d(ctx: Dict, graphs_train: List[dict], graphs_eval: List[dict],
             y_norm = (batch.y[:, 0] - mean) / std
             state, _ = train_step(state, jax.device_put(batch),
                                   jnp.asarray(y_norm), gm, lr_dev)
-    ev = GraphLoader(graphs_eval, batch_size=batch_size, n_max=n_max,
-                     e_max=e_max, shuffle=False, drop_last=False,
-                     seed=seed, num_tasks=1)
-    errs = []
-    for batch, n_real in ev:
-        pred = np.asarray(eval_step(state, jax.device_put(batch)))[:n_real]
-        y = np.asarray(batch.y)[:n_real, 0]
-        errs.append(np.abs(pred * std + mean - y))
-    return float(np.concatenate(errs).mean())
+    def mae_on(graphs):
+        ld = GraphLoader(graphs, batch_size=batch_size, n_max=n_max,
+                         e_max=e_max, shuffle=False, drop_last=False,
+                         seed=seed, num_tasks=1)
+        errs = []
+        for batch, n_real in ld:
+            pred = np.asarray(eval_step(state, jax.device_put(batch)))[:n_real]
+            y = np.asarray(batch.y)[:n_real, 0]
+            errs.append(np.abs(pred * std + mean - y))
+        return float(np.concatenate(errs).mean())
+
+    return mae_on(graphs_eval), mae_on(graphs_train)
 
 
 def run_transfer(
@@ -200,10 +208,11 @@ def run_transfer(
                                  ("reg_3d", finetune_reg3d, reg_pool)):
             tr, ev = pool_t[:n_train], pool_t[n_train:]
             for arm in ("scratch", "pretrained"):
-                metric = fn(ctx, tr, ev, arm == "pretrained", seed,
-                            epochs, lr)
+                metric, train_metric = fn(ctx, tr, ev, arm == "pretrained",
+                                          seed, epochs, lr)
                 row = {"task": task, "seed": seed, "arm": arm,
-                       "metric": round(metric, 4)}
+                       "metric": round(metric, 4),
+                       "train_metric": round(train_metric, 4)}
                 rows.append(row)
                 log(json.dumps(row))
 

@@ -22,6 +22,44 @@ from moleculesde_tpu.core.batch import (
 from moleculesde_tpu.data.extend import extend_graph
 
 
+def relax_positions(
+    pos: np.ndarray,
+    edge_index: np.ndarray,
+    n_iter: int = 120,
+    bond_len: float = 1.5,
+    lr: float = 0.05,
+    rep_dist: float = 2.0,
+) -> np.ndarray:
+    """Spring-relax a conformer so geometry reflects the FULL bond topology.
+
+    Gradient descent on a toy force field: every bonded pair (chain AND
+    chord) springs toward ``bond_len``; non-bonded pairs closer than
+    ``rep_dist`` feel a soft repulsion.  Without this, the raw chain
+    random walk ignores chord bonds entirely, making the conformer nearly
+    independent of the graph — held-out 2D->3D generation, 3D->2D bond
+    recovery, and cross-modal transfer labels are then information-starved
+    by construction (the r5 diagnosis of the weak held-out quality and
+    chance-level transfer numbers).  After relaxation, bonded distance
+    ~``bond_len`` < ``rep_dist`` <= non-bonded distance, so topology is
+    recoverable from geometry and chords fold the chain into graph-
+    determined compact shapes (up to E(3) and basin multimodality — the
+    conformer-multimodality COV/MAT metrics expect exactly that)."""
+    n = pos.shape[0]
+    if n < 2:
+        return pos
+    bonded = np.zeros((n, n), dtype=bool)
+    bonded[edge_index[0], edge_index[1]] = True
+    nonbonded = ~bonded & ~np.eye(n, dtype=bool)
+    for _ in range(n_iter):
+        d = pos[:, None] - pos[None, :]
+        r = np.sqrt((d * d).sum(-1)) + 1e-9
+        coef = np.where(bonded, (bond_len - r) / r, 0.0)
+        coef += np.where(nonbonded & (r < rep_dist),
+                         0.5 * (rep_dist - r) / r, 0.0)
+        pos = pos + lr * (coef[..., None] * d).sum(axis=1)
+    return (pos - pos.mean(axis=0, keepdims=True)).astype(np.float32)
+
+
 def random_molecule(
     rng: np.random.Generator,
     n_atoms: int,
@@ -31,10 +69,11 @@ def random_molecule(
 ) -> dict:
     """A random chain-plus-chords molecule dict (both-direction bond lists).
 
-    ``geometric=True`` lays the chain out as a random walk with ~1.5-length
-    bond steps (instead of i.i.d. Gaussian coordinates), giving conformers a
-    learnable graph->geometry relationship for overfit/quality studies
-    (benchmarks/quality.py)."""
+    ``geometric=True`` seeds the chain as a random walk with ~1.5-length
+    bond steps and then spring-relaxes it against the full bond topology
+    (:func:`relax_positions`), giving conformers a learnable
+    graph->geometry relationship for overfit/quality/transfer studies
+    (benchmarks/quality.py, benchmarks/transfer.py)."""
     atom_feats = np.stack(
         [rng.integers(0, d, size=n_atoms) for d in ATOM_FEATURE_DIMS], axis=1
     ).astype(np.int32)
@@ -61,6 +100,7 @@ def random_molecule(
             steps = rng.normal(size=(n_atoms, 3))
             steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
             pos = np.cumsum(1.5 * steps, axis=0).astype(np.float32)
+            pos = relax_positions(pos, edge_index)
         else:
             pos = rng.normal(size=(n_atoms, 3)).astype(np.float32) * 1.5
         pos = pos - pos.mean(axis=0, keepdims=True)  # remove_center=True semantics
