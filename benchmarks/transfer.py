@@ -170,6 +170,7 @@ def run_transfer(
     n_pretrain: int = 256,
     n_max: int = 16,
     emb_dim: int = 128,
+    pretrain_batch: int = 64,
     n_train: int = 48,
     n_eval: int = 256,
     epochs: int = 30,
@@ -183,7 +184,7 @@ def run_transfer(
 
     ctx = train_quality_models(n_mols=n_pretrain, n_max=n_max,
                                emb_dim=emb_dim, steps=pretrain_steps,
-                               batch_size=64, seed=pretrain_seed,
+                               batch_size=pretrain_batch, seed=pretrain_seed,
                                cfg_overrides=cfg_overrides, log=log)
 
     rows = []
@@ -242,6 +243,7 @@ def main():
         n_pretrain=int(os.environ.get("TRANSFER_PRETRAIN_MOLS", 256)),
         n_max=int(os.environ.get("TRANSFER_NMAX", 16)),
         emb_dim=int(os.environ.get("TRANSFER_EMB", 128)),
+        pretrain_batch=int(os.environ.get("TRANSFER_PRETRAIN_BATCH", 64)),
         n_train=int(os.environ.get("TRANSFER_TRAIN", 48)),
         n_eval=int(os.environ.get("TRANSFER_EVAL", 256)),
         epochs=int(os.environ.get("TRANSFER_EPOCHS", 30)),
