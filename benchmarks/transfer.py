@@ -55,6 +55,28 @@ def n_chords(g: dict) -> float:
     return float(g["edge_index"].shape[1] // 2 - (n - 1))
 
 
+def spring_energy_forces(pos: np.ndarray, edge_index: np.ndarray,
+                         bond_len: float = 1.5, rep_dist: float = 2.0):
+    """Exact energy and forces of the generator's toy force field
+    (data/synthetic.py::relax_positions — whose descent direction IS
+    -grad E) evaluated at ``pos``.  E = sum_{i<j bonded} 0.5 (r - L)^2 +
+    sum_{i<j nonbonded, r<rep} 0.25 (rep - r)^2."""
+    n = pos.shape[0]
+    bonded = np.zeros((n, n), dtype=bool)
+    bonded[edge_index[0], edge_index[1]] = True
+    nonbonded = ~bonded & ~np.eye(n, dtype=bool)
+    d = pos[:, None] - pos[None, :]
+    r = np.sqrt((d * d).sum(-1)) + 1e-9
+    close = nonbonded & (r < rep_dist)
+    # full-matrix sums count each pair twice -> halve the pair constants
+    energy = 0.25 * (np.where(bonded, (r - bond_len) ** 2, 0.0)).sum()
+    energy += 0.125 * (np.where(close, (rep_dist - r) ** 2, 0.0)).sum()
+    coef = np.where(bonded, (bond_len - r) / r, 0.0)
+    coef += np.where(close, 0.5 * (rep_dist - r) / r, 0.0)
+    forces = (coef[..., None] * d).sum(axis=1)
+    return float(energy), forces.astype(np.float32)
+
+
 def make_downstream_pool(n_mols: int, n_max: int, seed: int) -> List[dict]:
     from moleculesde_tpu.data.synthetic import random_molecule
 
@@ -165,6 +187,59 @@ def finetune_reg3d(ctx: Dict, graphs_train: List[dict], graphs_eval: List[dict],
     return mae_on(graphs_eval), mae_on(graphs_train)
 
 
+def finetune_frc3d(ctx: Dict, graphs_train: List[dict], graphs_eval: List[dict],
+                   pretrained: bool, seed: int, epochs: int, lr: float,
+                   batch_size: int = 16) -> float:
+    """SchNet MD17-style energy + force finetuning (reference
+    finetune_MD17.py flow: loss = 0.05 L1(E) + 0.95 L1(F), forces as the
+    negative position gradient): returns eval force MAE."""
+    from moleculesde_tpu.data.loader import GraphLoader
+    from moleculesde_tpu.finetune.md17 import (
+        create_md17_state, make_md17_steps)
+    from moleculesde_tpu.finetune.regression import RegressionModel
+    from moleculesde_tpu.models import SchNet
+
+    cfg = ctx["cfg"]
+    n_max, e_max = ctx["n_max"], ctx["e_max"]
+    encoder = SchNet(hidden_channels=cfg.emb_dim,
+                     num_filters=cfg.schnet_num_filters,
+                     num_interactions=cfg.schnet_num_interactions,
+                     num_gaussians=cfg.schnet_num_gaussians,
+                     cutoff=cfg.schnet_cutoff, readout=cfg.schnet_readout)
+    model = RegressionModel(encoder=encoder, head="linear")
+    loader = GraphLoader(graphs_train, batch_size=batch_size, n_max=n_max,
+                         e_max=e_max, shuffle=True, drop_last=True,
+                         seed=seed, num_tasks=1, with_forces=True)
+    key = jax.random.PRNGKey(seed)
+    init_batch, _ = next(iter(loader))
+    pre = ctx["trained"][0]["model_3D"] if pretrained else None
+    state, tx = create_md17_state(model, init_batch, key, lr=lr,
+                                  pretrained_encoder_params=pre)
+    train_step, eval_step = make_md17_steps(model, tx)
+    lr_dev = jnp.asarray(lr)
+    for _ in range(epochs):
+        for batch, n_real in loader:
+            gm = np.arange(batch.num_graphs) < n_real
+            state, _ = train_step(state, jax.device_put(batch),
+                                  batch.y[:, 0], batch.forces, gm, lr_dev)
+
+    def fmae_on(graphs):
+        ld = GraphLoader(graphs, batch_size=batch_size, n_max=n_max,
+                         e_max=e_max, shuffle=False, drop_last=False,
+                         seed=seed, num_tasks=1, with_forces=True)
+        errs = []
+        for batch, n_real in ld:
+            _, pf = eval_step(state, jax.device_put(batch))
+            nm = np.asarray(batch.node_mask).reshape(batch.num_graphs, -1)
+            pf = np.asarray(pf).reshape(batch.num_graphs, -1, 3)
+            yf = np.asarray(batch.forces).reshape(batch.num_graphs, -1, 3)
+            for i in range(n_real):
+                errs.append(np.abs(pf[i][nm[i]] - yf[i][nm[i]]).mean())
+        return float(np.mean(errs))
+
+    return fmae_on(graphs_eval), fmae_on(graphs_train)
+
+
 def run_transfer(
     pretrain_steps: int = 2000,
     n_pretrain: int = 256,
@@ -204,9 +279,23 @@ def run_transfer(
             gr = dict(g)
             gr["y"] = np.array([n_chords(g)], np.float32)
             reg_pool.append(gr)
+        # MD17 analogue: off-equilibrium frames of the generator's exact
+        # spring force field (relaxed geometry + Gaussian displacement)
+        frc_rng = np.random.default_rng(20_000 + seed)
+        frc_pool = []
+        for g in pool:
+            gf = dict(g)
+            pert = (g["positions"] + frc_rng.normal(
+                scale=0.3, size=g["positions"].shape)).astype(np.float32)
+            e, f = spring_energy_forces(pert, g["edge_index"])
+            gf["positions"] = pert
+            gf["y"] = np.array([e], np.float32)
+            gf["forces"] = f
+            frc_pool.append(gf)
 
         for task, fn, pool_t in (("cls_2d", finetune_cls2d, cls_pool),
-                                 ("reg_3d", finetune_reg3d, reg_pool)):
+                                 ("reg_3d", finetune_reg3d, reg_pool),
+                                 ("frc_3d", finetune_frc3d, frc_pool)):
             tr, ev = pool_t[:n_train], pool_t[n_train:]
             for arm in ("scratch", "pretrained"):
                 metric, train_metric = fn(ctx, tr, ev, arm == "pretrained",
@@ -218,7 +307,8 @@ def run_transfer(
                 log(json.dumps(row))
 
     summary = {}
-    for task, better in (("cls_2d", "higher"), ("reg_3d", "lower")):
+    for task, better in (("cls_2d", "higher"), ("reg_3d", "lower"),
+                         ("frc_3d", "lower")):
         s = np.array([r["metric"] for r in rows
                       if r["task"] == task and r["arm"] == "scratch"])
         p = np.array([r["metric"] for r in rows
