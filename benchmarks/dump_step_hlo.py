@@ -50,6 +50,7 @@ def main():
     b = int(os.environ.get("HLO_BATCH", 256))
     cfg = PretrainConfig(emb_dim=300, dropout_ratio=0.0,
                          cl_similarity_metric="EBM_node_dot_prod",
+                         model_3d=os.environ.get("HLO_MODEL3D", "SchNet"),
                          microbatch=int(os.environ.get("HLO_MB", 0)))
     batch = jax.device_put(synthetic_compact_batch(num_graphs=b, n_max=32,
                                                    seed=0))
