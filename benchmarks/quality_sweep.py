@@ -12,8 +12,12 @@ Artifacts:
 - stderr: README-ready markdown table of knob -> COV/MAT
 - ``benchmarks/artifacts/rmsd_sweep.npz``: the per-molecule min-RMSD
   distribution for every config (the distribution behind MAT — the
-  "sampled-conformer RMSD distribution" artifact of BASELINE.json), plus a
-  ``summary`` JSON string.
+  "sampled-conformer RMSD distribution" artifact of BASELINE.json),
+  training-set and held-out, plus a ``summary`` JSON string.  The shipped
+  ``rmsd_sweep.npz`` is the 512-corpus (memorization-regime) grid;
+  ``rmsd_sweep_16k.npz`` is the same grid at the 16,384-molecule
+  generalizing-regime corpus (``QUALITY_MOLS=16384 QUALITY_STEPS=20000
+  QUALITY_BATCH=128`` — see README).
 """
 
 from __future__ import annotations
